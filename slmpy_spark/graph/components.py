@@ -1,0 +1,88 @@
+"""Connected components via alternating small-star / large-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) — SURVEY.md §3.3 P2.
+
+Each vertex carries a current label (initially its own id); rounds of
+
+    large-star: for every edge (u,v) with v > u's label chain, attach
+                strictly-larger neighbors to min(neighborhood ∪ self)
+    small-star: attach smaller-or-equal neighbors likewise
+
+converge in O(log n) rounds to label = min vertex id of the component.
+Hub-safe: both stars are plain groupBy-min aggregations — no vertex
+ever enumerates its whole neighborhood in one task, so power-law
+graphs don't OOM (vs naive label-prop joins which fan hubs out).
+
+Implementation below is the simplified "label = min over neighbors'
+labels, repeat" with *path-halving* (label ← label of label), which
+keeps the same O(log n) round bound with two shuffles per round and is
+expressible entirely as joins/groupBys (no Python).
+
+Output: assign(id long, component long), component = min id reachable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slmpy_spark.graph.edges import symmetrize, vertices
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpointer=None
+) -> DataFrame:
+    """Exact undirected connected components. Returns (id, component)."""
+    spark = edges.sparkSession
+    sym = symmetrize(edges).select("src", "dst").persist()
+    verts = vertices(edges).persist()
+    if verts.count() == 0:
+        return spark.createDataFrame([], "id long, component long")
+
+    labels = verts.select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # gather: candidate = min(own label, min over neighbors' labels)
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id, "inner")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # path halving: component ← label of component (pointer jump)
+        jump = new_labels.select(
+            F.col("id").alias("jid"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.component == jump.jid, "left")
+            .select(
+                "id", F.coalesce(F.col("jcomp"), F.col("component")).alias("component")
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if checkpointer is not None:
+            labels = checkpointer.save_state("cc_labels", it, labels)
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    verts.unpersist()
+    return labels

@@ -1,0 +1,341 @@
+"""Numpy CSR kernels for local moving / SLM (SURVEY.md G4/G5/G12/G13).
+
+These are the *worker-side* compute kernels. They re-implement, from
+the published algorithm description (Waltman & van Eck, "A smart local
+moving algorithm for large-scale modularity-based community detection",
+EPJ B (2013) 86:471, arXiv:1308.6604) and the public Java
+``ModularityOptimizer`` semantics, the sequential smart-local-moving
+family.  Pinned semantics (SURVEY.md §1.1–1.2; re-verify against
+/root/reference when it becomes readable — it is empty this sandbox):
+
+- visit order: seeded random permutation per sweep;
+- gain(i→c) = k_{i,c} − node_w_i · Σtot(c) · γ'   with γ' = γ/2m for
+  standard modularity (node_w = weighted degree) or γ' = γ for CPM
+  (node_w = 1); Σtot evaluated *after removing i from its community*;
+- move only on strictly positive best gain; ties → lowest community id;
+  no positive gain → node takes an unused (empty) community id
+  (LIFO stack of unused ids, initially ascending);
+- cyclic sweep with an unstable counter: terminate when n consecutive
+  visits produce no move;
+- cluster ids compactified after each LM run, preserving ascending
+  first-use order.
+
+Everything operates on CSR arrays (indptr, nbr, wgt) — contiguous,
+cache-friendly, built per Arrow batch with O(m) numpy sorts.  Graphs
+here are *symmetrized* and self-loop-free; self-loop weight created by
+aggregation is carried as the scalar ``total_self_w`` (it shifts Q by a
+constant and never affects a move decision).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- CSR
+
+
+def build_csr(n: int, src: np.ndarray, dst: np.ndarray, wgt: np.ndarray):
+    """CSR adjacency from a directed-pair edge list (both directions
+    present for undirected graphs). Returns (indptr, nbr, w)."""
+    src = np.asarray(src, dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    counts = np.bincount(src, minlength=n)
+    indptr[1:] = np.cumsum(counts)
+    return (
+        indptr,
+        np.asarray(dst, dtype=np.int64)[order],
+        np.asarray(wgt, dtype=np.float64)[order],
+    )
+
+
+def compactify(cluster: np.ndarray) -> int:
+    """Renumber cluster ids to 0..k-1 preserving ascending old-id order
+    (the reference's end-of-LM relabel). In-place; returns k."""
+    used = np.unique(cluster)
+    remap = np.empty(int(used.max()) + 1 if used.size else 0, dtype=np.int64)
+    remap[used] = np.arange(used.size, dtype=np.int64)
+    cluster[:] = remap[cluster]
+    return int(used.size)
+
+
+# ------------------------------------------------------- local moving
+
+
+def local_moving(
+    indptr: np.ndarray,
+    nbr: np.ndarray,
+    wgt: np.ndarray,
+    node_w: np.ndarray,
+    cluster: np.ndarray,
+    resolution2: float,
+    rng: np.random.Generator,
+) -> bool:
+    """One full sequential local-moving pass (runs to stability).
+
+    Mutates `cluster` in place; returns True iff any node moved.
+    `resolution2` = γ/2m (standard) or γ (CPM); `node_w` = degree or 1s.
+    """
+    n = indptr.size - 1
+    if n <= 1:
+        return False
+    cluster_w = np.bincount(cluster, weights=node_w, minlength=n).astype(np.float64)
+    n_per = np.bincount(cluster, minlength=n)
+    unused = list(np.flatnonzero(n_per == 0))  # ascending; pop() = largest first
+
+    order = rng.permutation(n)
+    n_stable = 0
+    i = 0
+    update = False
+    while n_stable < n:
+        j = int(order[i])
+        lo, hi = int(indptr[j]), int(indptr[j + 1])
+        cj = int(cluster[j])
+        cluster_w[cj] -= node_w[j]
+        n_per[cj] -= 1
+        if n_per[cj] == 0:
+            unused.append(cj)
+
+        best = -1
+        if hi > lo:
+            ncl = cluster[nbr[lo:hi]]
+            uniq, inv = np.unique(ncl, return_inverse=True)
+            kic = np.bincount(inv, weights=wgt[lo:hi])
+            gain = kic - node_w[j] * cluster_w[uniq] * resolution2
+            bi = int(np.argmax(gain))  # first max = lowest cluster id on ties
+            if gain[bi] > 0.0:
+                best = int(uniq[bi])
+        if best < 0:
+            best = unused.pop()
+
+        cluster_w[best] += node_w[j]
+        n_per[best] += 1
+        if best == cj:
+            n_stable += 1
+        else:
+            cluster[j] = best
+            n_stable = 1
+            update = True
+        i = i + 1 if i < n - 1 else 0
+
+    compactify(cluster)
+    return update
+
+
+# --------------------------------------------- subnetworks & reduction
+
+
+def _cluster_slices(cluster: np.ndarray, n_clusters: int):
+    """Nodes grouped by cluster: returns (nodes_sorted, starts) where
+    nodes_sorted[starts[c]:starts[c+1]] are cluster c's members,
+    ascending."""
+    order = np.argsort(cluster, kind="stable")
+    starts = np.zeros(n_clusters + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(np.bincount(cluster, minlength=n_clusters))
+    return order, starts
+
+
+def _intra_edges_by_cluster(
+    indptr, nbr, wgt, cluster, n_clusters
+):
+    """All intra-cluster directed pairs, sorted by cluster. Returns
+    (e_src, e_dst, e_w, estarts) with estarts slicing per cluster."""
+    n = indptr.size - 1
+    e_src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    mask = cluster[e_src] == cluster[nbr]
+    s, d, w = e_src[mask], nbr[mask], wgt[mask]
+    c = cluster[s]
+    order = np.argsort(c, kind="stable")
+    s, d, w, c = s[order], d[order], w[order], c[order]
+    estarts = np.zeros(n_clusters + 1, dtype=np.int64)
+    estarts[1:] = np.cumsum(np.bincount(c, minlength=n_clusters))
+    return s, d, w, estarts
+
+
+def _reduced_network(indptr, nbr, wgt, node_w, cluster, n_clusters):
+    """Aggregate to the super-graph: inter-cluster weights summed; the
+    intra weight folds into the returned self-weight scalar; super node
+    weights = member node-weight sums. Returns
+    (r_indptr, r_nbr, r_wgt, r_node_w, intra_w_total)."""
+    n = indptr.size - 1
+    e_src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cs, cd, w = cluster[e_src], cluster[nbr], wgt
+    inter = cs != cd
+    intra_w_total = float(w[~inter].sum())
+    key = cs[inter].astype(np.int64) * n_clusters + cd[inter]
+    uk, inv = np.unique(key, return_inverse=True)
+    rw = np.bincount(inv, weights=w[inter])
+    rs, rd = (uk // n_clusters), (uk % n_clusters)
+    r_indptr, r_nbr, r_wgt = build_csr(n_clusters, rs, rd, rw)
+    r_node_w = np.bincount(cluster, weights=node_w, minlength=n_clusters)
+    return r_indptr, r_nbr, r_wgt, r_node_w, intra_w_total
+
+
+# ------------------------------------------------------------- SLM
+
+
+def slm_recursive(
+    indptr, nbr, wgt, node_w, cluster, resolution2, rng
+) -> bool:
+    """One SLM pass (recursive over aggregation levels), §1.2(4).
+
+    a. local moving on the current network;
+    b. split: per-community induced subnetwork, LM from singletons;
+    c. reduced network over subcommunities, initially clustered by
+       their step-a parent community;
+    d. recurse; merge labels down.
+    Mutates `cluster`; returns True iff anything changed.
+    """
+    n = indptr.size - 1
+    if n == 1:
+        return False
+    update = local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+    n_clusters = int(cluster.max()) + 1 if n else 0
+    if n_clusters >= n:
+        return update
+
+    nodes_sorted, starts = _cluster_slices(cluster, n_clusters)
+    es, ed, ew, estarts = _intra_edges_by_cluster(indptr, nbr, wgt, cluster, n_clusters)
+
+    glob2loc = np.empty(n, dtype=np.int64)
+    new_cluster = np.empty(n, dtype=np.int64)
+    n_sub = np.empty(n_clusters, dtype=np.int64)
+    next_id = 0
+    for c in range(n_clusters):
+        members = nodes_sorted[starts[c] : starts[c + 1]]
+        k = members.size
+        glob2loc[members] = np.arange(k, dtype=np.int64)
+        s = glob2loc[es[estarts[c] : estarts[c + 1]]]
+        d = glob2loc[ed[estarts[c] : estarts[c + 1]]]
+        w = ew[estarts[c] : estarts[c + 1]]
+        sub_indptr, sub_nbr, sub_wgt = build_csr(k, s, d, w)
+        sub_cluster = np.arange(k, dtype=np.int64)  # from singletons
+        local_moving(
+            sub_indptr, sub_nbr, sub_wgt, node_w[members], sub_cluster, resolution2, rng
+        )
+        kc = int(sub_cluster.max()) + 1 if k else 0
+        new_cluster[members] = next_id + sub_cluster
+        n_sub[c] = kc
+        next_id += kc
+    cluster[:] = new_cluster
+
+    r = _reduced_network(indptr, nbr, wgt, node_w, cluster, next_id)
+    r_indptr, r_nbr, r_wgt, r_node_w, _ = r
+    # initial clustering of the reduced network: subcommunity → parent
+    r_cluster = np.repeat(np.arange(n_clusters, dtype=np.int64), n_sub)
+    update |= slm_recursive(
+        r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng
+    )
+    cluster[:] = r_cluster[cluster]  # merge down (G9)
+    compactify(cluster)
+    return update
+
+
+def louvain_recursive(
+    indptr, nbr, wgt, node_w, cluster, resolution2, rng, refine: bool = False
+) -> bool:
+    """Classic Louvain (§1.2(2)) / with multilevel refinement (§1.2(3)):
+    LM → aggregate → recurse from singletons → merge down
+    (→ optionally re-run LM at this level)."""
+    n = indptr.size - 1
+    if n == 1:
+        return False
+    update = local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+    n_clusters = int(cluster.max()) + 1 if n else 0
+    if n_clusters < n:
+        r_indptr, r_nbr, r_wgt, r_node_w, _ = _reduced_network(
+            indptr, nbr, wgt, node_w, cluster, n_clusters
+        )
+        r_cluster = np.arange(n_clusters, dtype=np.int64)
+        sub_update = louvain_recursive(
+            r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng, refine
+        )
+        if sub_update:
+            update = True
+            cluster[:] = r_cluster[cluster]
+            if refine:
+                update |= local_moving(
+                    indptr, nbr, wgt, node_w, cluster, resolution2, rng
+                )
+        compactify(cluster)
+    return update
+
+
+# ------------------------------------------------------------ quality
+
+
+def quality_numpy(
+    indptr,
+    nbr,
+    wgt,
+    node_w,
+    cluster,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    total_self_w: float = 0.0,
+    two_m: float | None = None,
+) -> float:
+    """Q of a clustering on a CSR graph (§1.1). `two_m` lets callers pin
+    the level-0 normalization when evaluating on reduced networks."""
+    n = indptr.size - 1
+    e_src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    intra = float(wgt[cluster[e_src] == cluster[nbr]].sum()) + total_self_w
+    if two_m is None:
+        two_m = float(wgt.sum()) + total_self_w
+    if two_m == 0:
+        return 0.0
+    if quality == "cpm":
+        sizes = np.bincount(cluster)
+        return (intra - gamma * float((sizes.astype(np.float64) ** 2).sum())) / two_m
+    tot = np.bincount(cluster, weights=node_w)
+    return intra / two_m - gamma * float((tot / two_m) @ (tot / two_m))
+
+
+# --------------------------------------------------- iterated wrappers
+
+
+def run_slm(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    wgt: np.ndarray,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    n_random_starts: int = 1,
+    n_iterations: int = 1,
+    seed: int = 0,
+    variant: str = "slm",
+):
+    """Complete iterated SLM/Louvain on a symmetrized directed-pair edge
+    list with dense node ids 0..n-1 (G13/G14).  Returns (cluster, q).
+
+    variant: "slm" | "louvain" | "louvain_refine".
+    """
+    indptr, nbr, w = build_csr(n, src, dst, wgt)
+    if quality == "cpm":
+        node_w = np.ones(n, dtype=np.float64)
+        resolution2 = gamma
+    else:
+        node_w = np.zeros(n, dtype=np.float64)
+        np.add.at(node_w, src, wgt)
+        two_m = float(w.sum())
+        resolution2 = gamma / two_m if two_m else 0.0
+
+    step = {
+        "slm": slm_recursive,
+        "louvain": louvain_recursive,
+        "louvain_refine": lambda *a: louvain_recursive(*a, refine=True),
+    }[variant]
+
+    best_cluster, best_q = None, -np.inf
+    for start in range(max(1, n_random_starts)):
+        rng = np.random.Generator(np.random.PCG64(seed + start))
+        cluster = np.arange(n, dtype=np.int64)
+        for _ in range(max(1, n_iterations)):
+            changed = step(indptr, nbr, w, node_w, cluster, resolution2, rng)
+            if not changed:
+                break
+        q = quality_numpy(indptr, nbr, w, node_w, cluster, gamma, quality)
+        if q > best_q:
+            best_q, best_cluster = q, cluster.copy()
+    return best_cluster, float(best_q)

@@ -1,0 +1,515 @@
+"""Smart Local Moving / Louvain over the edge table (SURVEY.md G4–G16).
+
+Two execution modes (SURVEY.md §5.3):
+
+- **exact**: the whole (small) graph flows into ONE ``applyInPandas``
+  kernel that runs the sequential reference algorithm
+  (kernels.run_slm) — bitwise-deterministic given a seed; used for the
+  golden-fixture parity gate.
+
+- **scale**: the distributed path for web-scale graphs.
+  Per outer level:
+    1. *distributed local moving*: edges are hash-partitioned by src
+       (per-sweep rotating salt); each partition's kernel builds a CSR
+       block and runs a sequential sweep against a *snapshot* of
+       community totals (joined in as columns — the "broadcast/joined
+       degree table" of the north star), emitting moves; community
+       labels canonicalized to min-member-id between sweeps; a
+       monotone-Q guard rejects sweeps that lower Q (stale-totals
+       oscillation protection).
+    2. *subnetwork splitting* (G6): intra-community edges grouped by
+       community; ``applyInPandas`` runs LM-from-singletons per
+       community — embarrassingly parallel.
+    3. *aggregation* (G7/G8): join+groupBy builds the super-graph;
+       subcommunities start the next level grouped by their parent.
+    4. recurse until the super-graph stops shrinking; once it fits
+       under ``exact_threshold`` edges the remaining levels run in the
+       exact kernel (the graph has shrunk 100–10000× by then).
+  Every outer level checkpoints assign + supergraph + metrics through
+  the Checkpointer (resumable mid-convergence).
+
+Scale-mode results match the reference's *Q-class* (same modularity to
+1e-6 on graphs with stable optima), not its exact label sequence — the
+sequential visit order is inherently unparallelizable (SURVEY §8-H1);
+exact mode is the label-parity path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slmpy_spark.graph import kernels
+from slmpy_spark.graph.aggregate import aggregate_graph
+from slmpy_spark.graph.edges import degrees, symmetrize, total_weight, vertices
+from slmpy_spark.graph.modularity import modularity
+
+ASSIGN_SCHEMA = "id long, community long"
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _dense_run(pdf: pd.DataFrame, fn, **kw):
+    """Remap arbitrary long ids to dense 0..n-1, run a kernels.* entry
+    point, map back. Returns (ids, cluster, extra)."""
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    w = pdf["weight"].to_numpy(dtype=np.float64)
+    ids = np.unique(np.concatenate([src, dst]))
+    lsrc = np.searchsorted(ids, src)
+    ldst = np.searchsorted(ids, dst)
+    return ids, fn(len(ids), lsrc, ldst, w, **kw)
+
+
+def _canonical_labels(assign: DataFrame) -> DataFrame:
+    """community → min member vertex id (stable, collision-free labels
+    across sweeps; also the scale-mode community id convention)."""
+    m = assign.groupBy("community").agg(F.min("id").alias("rep"))
+    return assign.join(m, "community").select("id", F.col("rep").alias("community"))
+
+
+# ---------------------------------------------------------- exact mode
+
+
+def slm_exact(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    n_random_starts: int = 1,
+    n_iterations: int = 1,
+    seed: int = 0,
+    variant: str = "slm",
+):
+    """Sequential SLM/Louvain in one Arrow kernel. Returns (assign, q)."""
+    sym = symmetrize(edges)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, (cluster, q) = _dense_run(
+            pdf,
+            kernels.run_slm,
+            gamma=gamma,
+            quality=quality,
+            n_random_starts=n_random_starts,
+            n_iterations=n_iterations,
+            seed=seed,
+            variant=variant,
+        )
+        return pd.DataFrame({"id": ids, "community": cluster, "q": q})
+
+    out = (
+        sym.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(kernel, "id long, community long, q double")
+        .persist()
+    )
+    first = out.select("q").first()
+    q = float(first["q"]) if first else 0.0
+    assign = out.select("id", "community")
+    return assign, q
+
+
+# ------------------------------------------------- scale mode: LM sweep
+
+
+def _lm_sweep_kernel_factory(resolution2: float, seed: int, sweep: int):
+    """Kernel for one distributed LM superstep. Input rows (one per
+    directed edge of the partition's src nodes):
+        src, dst, weight, c_src, c_dst, w_src, sigma_src, sigma_dst
+    Output: (id, community) — post-sweep assignment for every local src.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id": [], "community": []})
+        pdf = pdf.sort_values("src", kind="stable")
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        wgt = pdf["weight"].to_numpy(np.float64)
+        c_dst = pdf["c_dst"].to_numpy(np.int64)
+
+        uniq_src, first_idx = np.unique(src, return_index=True)
+        starts = np.append(first_idx, src.size)
+        w_src = pdf["w_src"].to_numpy(np.float64)[first_idx]
+        c_src = pdf["c_src"].to_numpy(np.int64)[first_idx]
+
+        # totals snapshot: every community seen in the partition
+        sigma: dict[int, float] = {}
+        for c_arr, s_arr in (
+            (pdf["c_src"].to_numpy(np.int64), pdf["sigma_src"].to_numpy(np.float64)),
+            (c_dst, pdf["sigma_dst"].to_numpy(np.float64)),
+        ):
+            cu, iu = np.unique(c_arr, return_index=True)
+            for c, s in zip(cu.tolist(), s_arr[iu].tolist()):
+                sigma[c] = s
+
+        cur = dict(zip(uniq_src.tolist(), c_src.tolist()))  # local live view
+        nw = dict(zip(uniq_src.tolist(), w_src.tolist()))
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + sweep))
+        order = rng.permutation(uniq_src.size)
+
+        out_id, out_c = [], []
+        for oi in order:
+            j = int(uniq_src[oi])
+            lo, hi = int(starts[oi]), int(starts[oi + 1])
+            cj = cur[j]
+            wj = nw[j]
+            sigma[cj] = sigma.get(cj, 0.0) - wj  # remove self
+
+            # candidate communities: live local labels override snapshot
+            nb = dst[lo:hi]
+            ncl = np.array(
+                [cur.get(int(d), int(c)) for d, c in zip(nb, c_dst[lo:hi])],
+                dtype=np.int64,
+            )
+            uniqc, inv = np.unique(ncl, return_inverse=True)
+            kic = np.bincount(inv, weights=wgt[lo:hi])
+            sig = np.array([sigma.get(int(c), 0.0) for c in uniqc])
+            gain = kic - wj * sig * resolution2
+            bi = int(np.argmax(gain))
+            if gain[bi] > 0.0:
+                best = int(uniqc[bi])
+            else:
+                best = -(j + 1)  # fresh singleton (negative id space;
+                # canonicalized to min-member-id after the sweep)
+            sigma[best] = sigma.get(best, 0.0) + wj
+            if best != cj:
+                cur[j] = best
+            out_id.append(j)
+            out_c.append(cur[j])
+        return pd.DataFrame({"id": out_id, "community": out_c})
+
+    return kernel
+
+
+def _distributed_local_moving(
+    sym: DataFrame,
+    node_w: DataFrame,
+    assign: DataFrame,
+    resolution2: float,
+    seed: int,
+    max_sweeps: int,
+    n_parts: int,
+    gamma: float,
+    quality: str,
+    q_guard: bool,
+) -> DataFrame:
+    """Superstep local moving until no node moves (or max_sweeps)."""
+    spark = sym.sparkSession
+    assign = assign.localCheckpoint(eager=True)
+    prev_q = None
+    if q_guard:
+        prev_q = modularity(sym, assign, gamma=gamma, quality=quality)
+
+    for sweep in range(max_sweeps):
+        comm_tot = (
+            node_w.join(assign, "id")
+            .groupBy("community")
+            .agg(F.sum("node_w").alias("sigma"))
+        )
+        a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+        a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+        nw_src = node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))
+        t_src = comm_tot.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src"))
+        t_dst = comm_tot.select(F.col("community").alias("c_dst"), F.col("sigma").alias("sigma_dst"))
+
+        rows = (
+            sym.join(a_src, "src")
+            .join(a_dst, "dst")
+            .join(nw_src, "src")
+            .join(t_src, "c_src")
+            .join(t_dst, "c_dst")
+            .withColumn(
+                "pkey",
+                F.pmod(F.xxhash64("src", F.lit(seed * 97 + sweep)), F.lit(n_parts)),
+            )
+        )
+        moved = rows.groupBy("pkey").applyInPandas(
+            _lm_sweep_kernel_factory(resolution2, seed, sweep), ASSIGN_SCHEMA
+        )
+        # isolated vertices (absent from sym) keep their assignment
+        new_assign = (
+            assign.alias("o")
+            .join(moved.alias("m"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
+            )
+        )
+        new_assign = _canonical_labels(new_assign).localCheckpoint(eager=True)
+
+        n_moves = (
+            new_assign.alias("n")
+            .join(assign.alias("o"), "id")
+            .where(F.col("n.community") != F.col("o.community"))
+            .count()
+        )
+        if q_guard and n_moves > 0:
+            q = modularity(sym, new_assign, gamma=gamma, quality=quality)
+            if q < prev_q - 1e-12:
+                break  # stale-totals oscillation: reject sweep, keep assign
+            prev_q = q
+        assign = new_assign
+        if n_moves == 0:
+            break
+    return assign
+
+
+# ----------------------------------------- scale mode: community split
+
+
+def _split_kernel_factory(resolution2: float, seed: int):
+    """LM-from-singletons inside one community (G6). Input rows: the
+    community's intra edges (src, dst, weight, w_src). Output:
+    (id, sub) with sub = local subcluster index."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comm = int(key[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["weight"].to_numpy(np.float64)
+        ids = np.unique(np.concatenate([src, dst]))
+        lsrc = np.searchsorted(ids, src)
+        ldst = np.searchsorted(ids, dst)
+        indptr, nbr, wgt = kernels.build_csr(len(ids), lsrc, ldst, w)
+        nw_map = dict(zip(src.tolist(), pdf["w_src"].to_numpy(np.float64).tolist()))
+        node_w = np.array([nw_map.get(int(i), 0.0) for i in ids])
+        cluster = np.arange(len(ids), dtype=np.int64)
+        rng = np.random.Generator(np.random.PCG64(seed ^ (comm * 2_654_435_761 % (1 << 63))))
+        kernels.local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+        return pd.DataFrame({"id": ids, "sub": cluster})
+
+    return kernel
+
+
+def _split_communities(
+    sym: DataFrame,
+    node_w: DataFrame,
+    assign: DataFrame,
+    resolution2: float,
+    seed: int,
+) -> DataFrame:
+    """Re-cluster every community from singletons (may split it).
+    New community labels = min member vertex id per subcommunity.
+    Members without intra-community edges become singletons (exactly
+    the sequential semantics: no neighbors in subnetwork → no positive
+    gain → stays alone)."""
+    a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    nw_src = node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))
+    intra = (
+        sym.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .join(nw_src, "src")
+        .select("src", "dst", "weight", "w_src", F.col("c_src").alias("community"))
+    )
+    sub = intra.groupBy("community").applyInPandas(
+        _split_kernel_factory(resolution2, seed), "id long, sub long"
+    )
+    # globally-unique subcommunity label = min member id (no driver coordination)
+    sub_assign = sub.join(
+        assign.select("id", F.col("community").alias("parent")), "id"
+    )
+    label = (
+        sub_assign.groupBy("parent", "sub").agg(F.min("id").alias("new_c"))
+    )
+    relabeled = sub_assign.join(label, ["parent", "sub"]).select(
+        "id", F.col("new_c").alias("community")
+    )
+    # nodes that had no intra edges → singleton of their own id
+    out = (
+        assign.alias("o")
+        .join(relabeled.alias("r"), "id", "left")
+        .select("id", F.coalesce(F.col("r.community"), F.col("id")).alias("community"))
+    )
+    return out
+
+
+# ---------------------------------------------------------- scale mode
+
+
+def slm_scale(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    seed: int = 0,
+    max_levels: int = 12,
+    max_sweeps: int = 12,
+    n_parts: int | None = None,
+    exact_threshold: int = 200_000,
+    q_guard: bool = True,
+    checkpointer=None,
+    variant: str = "slm",
+):
+    """Distributed SLM (variant="slm") / Louvain (variant="louvain").
+    Returns (assign, q) — q computed on the original graph."""
+    spark = edges.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+
+    sym0 = symmetrize(edges).persist()
+    two_m = total_weight(sym0)
+    if quality == "cpm":
+        resolution2 = gamma
+        nw0 = vertices(edges).select("id", F.lit(1.0).alias("node_w"))
+    else:
+        resolution2 = gamma / two_m if two_m else 0.0
+        nw0 = degrees(sym0).select("id", F.col("w_deg").alias("node_w"))
+
+    # per-level state
+    sym_l = sym0
+    node_w_l = nw0.localCheckpoint(eager=True)
+    assign_l = node_w_l.select("id", F.col("id").alias("community"))
+    flat = None  # original-vertex → current-level community
+
+    for level in range(max_levels):
+        m_l = sym_l.count()
+        if m_l <= exact_threshold:
+            assign_l = _exact_finish(
+                sym_l, node_w_l, assign_l, resolution2, seed + level, variant
+            )
+            flat = assign_l if flat is None else _merge_down(flat, assign_l)
+            break
+
+        assign_l = _distributed_local_moving(
+            sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
+            n_parts, gamma, quality, q_guard,
+        )
+        if variant == "slm":
+            assign_l = _split_communities(
+                sym_l, node_w_l, assign_l, resolution2, seed + level
+            ).localCheckpoint(eager=True)
+
+        flat = assign_l if flat is None else _merge_down(flat, assign_l)
+        if checkpointer is not None:
+            flat = checkpointer.save_state("slm_assign", level, flat)
+
+        n_vertices = assign_l.count()
+        n_comms = assign_l.select("community").distinct().count()
+        if n_comms >= n_vertices:
+            break  # nothing merged at this level → converged
+
+        super_edges, _sw = aggregate_graph(sym_l, assign_l)
+        node_w_next = (
+            node_w_l.join(assign_l, "id")
+            .groupBy("community")
+            .agg(F.sum("node_w").alias("node_w"))
+            .select(F.col("community").alias("id"), "node_w")
+        )
+        if sym_l is not sym0:
+            sym_l.unpersist()
+        sym_l = super_edges.persist()
+        node_w_l = node_w_next.localCheckpoint(eager=True)
+        # next level starts from singleton super-nodes; SLM's "grouped
+        # by parent" init is encoded in the labels themselves (each
+        # super-node *is* a step-b subcommunity; its parent grouping is
+        # re-discovered by the next LM pass from the edge structure)
+        assign_l = node_w_l.select("id", F.col("id").alias("community"))
+        if checkpointer is not None:
+            checkpointer.save_state("slm_supergraph", level, sym_l)
+            checkpointer.log_metric(
+                op="slm", level=level, edges=m_l, communities=n_comms
+            )
+
+    q = modularity(sym0, flat, gamma=gamma, quality=quality)
+    if sym_l is not sym0:
+        sym_l.unpersist()
+    sym0.unpersist()
+    return flat.select("id", "community"), q
+
+
+def _merge_down(flat: DataFrame, level_assign: DataFrame) -> DataFrame:
+    """flat: orig_id → comm_k;  level_assign: comm_k → comm_{k+1}."""
+    r = level_assign.select(
+        F.col("id").alias("community"), F.col("community").alias("new_c")
+    )
+    out = flat.join(r, "community").select("id", F.col("new_c").alias("community"))
+    return out.localCheckpoint(eager=True)
+
+
+def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant):
+    """Collect the (now small) super-graph and run the sequential kernel
+    to convergence, starting from the current assignment."""
+    pdf = sym_l.toPandas()
+    nw = node_w_l.toPandas()
+    a = assign_l.toPandas()
+    spark = sym_l.sparkSession
+    if pdf.empty:
+        return assign_l
+
+    ids = np.unique(
+        np.concatenate(
+            [pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64),
+             a["id"].to_numpy(np.int64)]
+        )
+    )
+    lsrc = np.searchsorted(ids, pdf["src"].to_numpy(np.int64))
+    ldst = np.searchsorted(ids, pdf["dst"].to_numpy(np.int64))
+    indptr, nbr, wgt = kernels.build_csr(len(ids), lsrc, ldst, pdf["weight"].to_numpy(np.float64))
+
+    node_w = np.zeros(len(ids))
+    node_w[np.searchsorted(ids, nw["id"].to_numpy(np.int64))] = nw["node_w"].to_numpy(np.float64)
+
+    cluster = np.empty(len(ids), dtype=np.int64)
+    cluster[np.searchsorted(ids, a["id"].to_numpy(np.int64))] = a["community"].to_numpy(np.int64)
+    # densify community labels
+    kernels.compactify(cluster)
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    step = kernels.slm_recursive if variant == "slm" else kernels.louvain_recursive
+    for _ in range(32):
+        if not step(indptr, nbr, wgt, node_w, cluster, resolution2, rng):
+            break
+    out = pd.DataFrame({"id": ids, "community": cluster})
+    # canonical min-member-id labels to stay in the global convention
+    rep = out.groupby("community")["id"].transform("min")
+    out["community"] = rep
+    return spark.createDataFrame(out[["id", "community"]], ASSIGN_SCHEMA)
+
+
+# -------------------------------------------------------------- facade
+
+
+def slm(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    n_random_starts: int = 1,
+    n_iterations: int = 1,
+    seed: int = 0,
+    mode: str = "auto",
+    variant: str = "slm",
+    exact_threshold: int = 200_000,
+    checkpointer=None,
+    **scale_kw,
+):
+    """Community detection entry point. Returns (assign_df, q).
+
+    mode: "exact" | "scale" | "auto" (exact when the graph is under
+    `exact_threshold` directed-pair entries)."""
+    if mode == "auto":
+        m = edges.count()
+        mode = "exact" if 2 * m <= exact_threshold else "scale"
+    if mode == "exact":
+        return slm_exact(
+            edges,
+            gamma=gamma,
+            quality=quality,
+            n_random_starts=n_random_starts,
+            n_iterations=n_iterations,
+            seed=seed,
+            variant=variant,
+        )
+    return slm_scale(
+        edges,
+        gamma=gamma,
+        quality=quality,
+        seed=seed,
+        exact_threshold=exact_threshold,
+        checkpointer=checkpointer,
+        variant=variant,
+        **scale_kw,
+    )
