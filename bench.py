@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus engine-specific extras (slm_edges_per_sec — the BASELINE.md
+primary metric: edges-processed/sec per SLM outer sweep).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("slmpy_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from slmpy_spark import engine
+    from slmpy_spark.sources.docs import documents_to_edges
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # edge derivation (materialized once, reused by every operator)
+    edges = documents_to_edges(spark, sf_dir)
+    n_edges = timed("edges", lambda: edges.count())
+    edges = edges.persist()
+    edges.count()
+
+    timed("degrees", lambda: engine.degrees(engine.symmetrize(edges)).count())
+
+    timed(
+        "pagerank_10it",
+        lambda: engine.pagerank(edges, tol=0.0, max_iter=10).count(),
+    )
+
+    timed("connected_components", lambda: engine.connected_components(edges).count())
+
+    timed(
+        "label_propagation_5it",
+        lambda: engine.label_propagation(edges, max_iter=5).count(),
+    )
+
+    timed("triangle_total", lambda: engine.triangle_count(edges)[0])
+
+    # SLM scale mode — the flagship; primary metric = directed edge
+    # entries processed per second per LM sweep (2m × sweeps / time)
+    max_sweeps = 6
+    t0 = time.time()
+    assign, q = engine.slm(
+        edges, seed=42, mode="scale", max_sweeps=max_sweeps, exact_threshold=50_000
+    )
+    slm_secs = time.time() - t0
+    queries["slm_scale"] = round(slm_secs, 3)
+    extras["slm_q"] = round(q, 6)
+    extras["slm_edges_per_sec"] = round(2 * n_edges * max_sweeps / slm_secs, 1)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "n_edges": n_edges,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
             labels = checkpointer.save_state("cc_labels", it, labels)

@@ -44,6 +44,7 @@ def label_propagation(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
             labels = checkpointer.save_state("lpa_labels", it, labels)

@@ -62,18 +62,26 @@ def pagerank(
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
 
-    # vertices with no out-edges (dangling)
+    # vertices with no out-edges (dangling); when there are none the
+    # per-iteration mass job is skipped entirely (common for
+    # symmetrized graphs — saves one job per iteration)
     dangling = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).persist()
+    n_dangling = dangling.count()
 
     n_iter = 0
     for it in range(max_iter):
         n_iter = it + 1
-        dmass_row = (
-            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank").alias("m")).first()
-        )
-        dmass = float(dmass_row["m"] or 0.0)
+        if n_dangling:
+            dmass_row = (
+                ranks.join(dangling, "id", "left_semi")
+                .agg(F.sum("rank").alias("m"))
+                .first()
+            )
+            dmass = float(dmass_row["m"] or 0.0)
+        else:
+            dmass = 0.0
 
         contribs = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.id, "inner")

@@ -114,11 +114,19 @@ def slm_exact(
 # ------------------------------------------------- scale mode: LM sweep
 
 
-def _lm_sweep_kernel_factory(resolution2: float, seed: int, sweep: int):
+def _lm_sweep_kernel_factory(
+    resolution2: float, seed: int, sweep: int, move_frac: float = 1.0
+):
     """Kernel for one distributed LM superstep. Input rows (one per
     directed edge of the partition's src nodes):
         src, dst, weight, c_src, c_dst, w_src, sigma_src, sigma_dst
     Output: (id, community) — post-sweep assignment for every local src.
+
+    `move_frac`: fraction of nodes allowed to move this sweep
+    (deterministic per (id, sweep) hash).  Damps the stale-totals
+    overshoot of synchronous distributed local moving — without it,
+    every node bordering a hub community jumps in simultaneously
+    (the sequential reference would admit a few, update Σtot, and stop).
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -153,6 +161,12 @@ def _lm_sweep_kernel_factory(resolution2: float, seed: int, sweep: int):
         out_id, out_c = [], []
         for oi in order:
             j = int(uniq_src[oi])
+            if move_frac < 1.0:
+                h = (j * 2654435761 + sweep * 40503 + seed) % (1 << 32)
+                if h / (1 << 32) >= move_frac:
+                    out_id.append(j)
+                    out_c.append(cur[j])
+                    continue
             lo, hi = int(starts[oi]), int(starts[oi + 1])
             cj = cur[j]
             wj = nw[j]
@@ -196,12 +210,21 @@ def _distributed_local_moving(
     quality: str,
     q_guard: bool,
 ) -> DataFrame:
-    """Superstep local moving until no node moves (or max_sweeps)."""
-    spark = sym.sparkSession
+    """Superstep local moving with adaptive damping.
+
+    Each sweep proposes moves against a Σtot snapshot; the sweep is
+    *accepted* only if Q improves (q_guard).  On rejection the mover
+    fraction is halved and the sweep retried from the best assignment —
+    this converges because damping shrinks the simultaneous-move set
+    toward the sequential regime; on acceptance the fraction relaxes
+    back up.  Stops at n_moves == 0, `max_sweeps`, or `patience`
+    consecutive rejections."""
     assign = assign.localCheckpoint(eager=True)
-    prev_q = None
-    if q_guard:
-        prev_q = modularity(sym, assign, gamma=gamma, quality=quality)
+    best_q = modularity(sym, assign, gamma=gamma, quality=quality) if q_guard else None
+    move_frac = 1.0
+    patience = 4
+    stall = 0
+    owned = [assign]  # checkpoints created here, for unpersist hygiene
 
     for sweep in range(max_sweeps):
         comm_tot = (
@@ -227,7 +250,8 @@ def _distributed_local_moving(
             )
         )
         moved = rows.groupBy("pkey").applyInPandas(
-            _lm_sweep_kernel_factory(resolution2, seed, sweep), ASSIGN_SCHEMA
+            _lm_sweep_kernel_factory(resolution2, seed, sweep, move_frac),
+            ASSIGN_SCHEMA,
         )
         # isolated vertices (absent from sym) keep their assignment
         new_assign = (
@@ -246,14 +270,26 @@ def _distributed_local_moving(
             .where(F.col("n.community") != F.col("o.community"))
             .count()
         )
-        if q_guard and n_moves > 0:
-            q = modularity(sym, new_assign, gamma=gamma, quality=quality)
-            if q < prev_q - 1e-12:
-                break  # stale-totals oscillation: reject sweep, keep assign
-            prev_q = q
-        assign = new_assign
         if n_moves == 0:
+            new_assign.unpersist()
             break
+        if q_guard:
+            q = modularity(sym, new_assign, gamma=gamma, quality=quality)
+            if q <= best_q + 1e-12:
+                stall += 1
+                move_frac = max(0.125, move_frac / 2)  # damp; retry from best
+                new_assign.unpersist()
+                if stall >= patience:
+                    break
+                continue
+            best_q = q
+            stall = 0
+            move_frac = min(1.0, move_frac * 1.5)
+        assign = new_assign
+        owned.append(assign)
+    for df in owned:
+        if df is not assign:
+            df.unpersist()
     return assign
 
 
@@ -383,7 +419,10 @@ def slm_scale(
                 sym_l, node_w_l, assign_l, resolution2, seed + level
             ).localCheckpoint(eager=True)
 
+        prev_flat = flat
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
+        if prev_flat is not None and prev_flat is not flat:
+            prev_flat.unpersist()
         if checkpointer is not None:
             flat = checkpointer.save_state("slm_assign", level, flat)
 

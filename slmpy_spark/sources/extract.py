@@ -16,6 +16,8 @@ text extraction (``extract_text``):
   6. output is UTF-8 (input decoded as UTF-8 with errors="replace").
 
 link extraction (``extract_links``):
+  - script/style elements and comments stripped first (an href inside
+    a JS string is not a link);
   - every ``<a ... href="...">`` occurrence, in document order, with
     duplicates preserved (edge weight = link multiplicity);
   - href resolved against the page url (RFC 3986 via urllib.parse);
@@ -88,6 +90,7 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     """All outlink urls of a page, document order, duplicates kept,
     self-links dropped, normalized per `normalize_url`."""
     s = html.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub(" ", s)
     s = _COMMENT_RE.sub(" ", s)
     self_norm = normalize_url(base_url)
     out: list[str] = []
