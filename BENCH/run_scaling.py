@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""N→4N scaling-efficiency evidence (BASELINE.md measurement plan).
+
+No multi-executor cluster exists in this sandbox, so the north rule's
+"N to 4N executors ≥ 0.8 efficiency" criterion is evidenced by running
+the identical job at two local parallelism levels (local[8] = N,
+local[32] = 4N) on the same seed-42 power-law input, reporting
+throughput at both plus efficiency = (T_8 / T_32) / 4 ... expressed as
+speedup/4 where speedup = wall_8 / wall_32.
+
+Usage:  python BENCH/run_scaling.py [--edges 1000000] [--reps 3]
+Writes: BENCH/BASELINE.md (+ raw JSON lines to BENCH/scaling_raw.jsonl)
+
+Run each parallelism level in a separate process (a JVM can't change
+master); this script orchestrates via subprocess.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["SLMPY_REPO"])
+import numpy as np
+from pyspark.sql import SparkSession, functions as F
+
+cpus = int(sys.argv[1])
+n_nodes = int(sys.argv[2])
+m_target = int(sys.argv[3])
+op = sys.argv[4]
+
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .appName(f"scaling-{cpus}")
+    .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "24g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from tests.genfixtures import g_powerlaw
+from slmpy_spark import engine
+
+und = g_powerlaw(n=n_nodes, m_target=m_target, seed=42)
+edges = spark.createDataFrame(
+    [(int(s), int(d), float(w)) for s, d, w in und],
+    "src long, dst long, weight double",
+).repartition(max(cpus, 8)).persist()
+m = edges.count()
+
+# warm-up: one cheap action through the whole stack
+engine.degrees(engine.symmetrize(edges)).count()
+
+t0 = time.time()
+if op == "slm":
+    sweeps = 4
+    assign, q = engine.slm(edges, seed=42, mode="scale", max_sweeps=sweeps,
+                           exact_threshold=2_000, n_parts=max(cpus, 8))
+    dt = time.time() - t0
+    out = {"op": op, "cpus": cpus, "edges": m, "secs": dt, "q": q,
+           "throughput": 2 * m * sweeps / dt}
+elif op == "pagerank":
+    iters = 8
+    engine.pagerank(edges, tol=0.0, max_iter=iters).count()
+    dt = time.time() - t0
+    out = {"op": op, "cpus": cpus, "edges": m, "secs": dt,
+           "throughput": m * iters / dt}
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_nodes: int, m_target: int, op: str) -> dict:
+    env = dict(os.environ, SLMPY_REPO=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(n_nodes), str(m_target), op],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT (cpus={cpus} op={op}):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=200_000)
+    ap.add_argument("--edges", type=int, default=1_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ops", default="pagerank,slm")
+    args = ap.parse_args()
+
+    raw_path = os.path.join(HERE, "scaling_raw.jsonl")
+    results = {}
+    with open(raw_path, "a") as raw:
+        for op in args.ops.split(","):
+            for cpus in (8, 32):
+                secs = []
+                rec = None
+                for rep in range(args.reps):
+                    rec = run_level(cpus, args.nodes, args.edges, op)
+                    rec["rep"] = rep
+                    raw.write(json.dumps(rec) + "\n")
+                    raw.flush()
+                    secs.append(rec["secs"])
+                med = statistics.median(secs)
+                results[(op, cpus)] = {**rec, "secs": med,
+                                       "throughput": rec["edges"] * (8 if op == "pagerank" else 8) / med}
+                print(f"{op} local[{cpus}]: median {med:.1f}s", flush=True)
+
+    lines = [
+        "# BENCH/BASELINE.md — measured scaling (sandbox N→4N substitution)",
+        "",
+        f"Input: seed-42 Chung-Lu power-law graph, {args.nodes:,} nodes, "
+        f"~{args.edges:,} undirected edges (tests/genfixtures.g_powerlaw), "
+        f"planted 1% hub. Median of {args.reps} runs, AQE on, "
+        "shuffle partitions = max(cores, 8).",
+        "",
+        "| op | local[8] (N) secs | local[32] (4N) secs | speedup | efficiency (target ≥0.8) |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for op in args.ops.split(","):
+        t8 = results[(op, 8)]["secs"]
+        t32 = results[(op, 32)]["secs"]
+        sp = t8 / t32
+        eff = sp / 4
+        lines.append(f"| {op} | {t8:.1f} | {t32:.1f} | {sp:.2f}× | {eff:.2f} |")
+    lines += [
+        "",
+        "Throughput (edge-entries processed / sec):",
+        "",
+        "| op | local[8] | local[32] |",
+        "| --- | --- | --- |",
+    ]
+    for op in args.ops.split(","):
+        r8, r32 = results[(op, 8)], results[(op, 32)]
+        lines.append(
+            f"| {op} | {r8['throughput']:,.0f} | {r32['throughput']:,.0f} |"
+        )
+    lines.append("")
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from slmpy_spark.graph.labelprop import lpa_round
 from slmpy_spark.graph.modularity import community_aggregates
 from slmpy_spark.graph.triangles import triangles
 from slmpy_spark.sources.docs import documents_to_edges
+from slmpy_spark.textops import analysis, dedup, similarity
 
 # ---------------------------------------------------------------------
 # shared SQL prelude: the deterministic documents→edges rule + the
@@ -129,7 +130,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": lambda spark, sf: engine.label_propagation(
             _edges(spark, sf), max_iter=5
         ),
+        # ---- training-pipeline textops over documents/embeddings ----
+        "token_stats": lambda spark, sf: analysis.token_stats(_docs(spark, sf)),
+        "quality_score": lambda spark, sf: analysis.quality_score(_docs(spark, sf)),
+        "lang_id": lambda spark, sf: analysis.lang_id(_docs(spark, sf)),
+        "exact_duplicates": lambda spark, sf: dedup.exact_duplicates(
+            _docs(spark, sf)
+        ),
+        "jaccard_pairs": lambda spark, sf: dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=0.2
+        ),
+        "cosine_pairs": lambda spark, sf: similarity.cosine_pairs(
+            _emb(spark, sf), max_id=20
+        ),
+        "cosine_topk": lambda spark, sf: similarity.cosine_topk(
+            _emb(spark, sf), k=10, n_queries=5
+        ),
+        "lsh_buckets": lambda spark, sf: similarity.lsh_buckets(
+            _emb(spark, sf), n_planes=8
+        ),
+        # rows-only (cross-engine hash functions differ by design)
+        "minhash_lsh_candidates": lambda spark, sf: dedup.lsh_candidates(
+            _docs(spark, sf), k=32, bands=16
+        ),
+        "simhash_signatures": lambda spark, sf: dedup.simhash_signatures(
+            _docs(spark, sf)
+        ),
+        "ann_topk": lambda spark, sf: similarity.ann_topk(
+            _emb(spark, sf), k=10, n_planes=8, n_queries=5
+        ),
     }
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _lsh_weights_sql(n_planes: int = 8) -> str:
+    """DuckDB literal weight lists mirroring similarity.lsh_buckets:
+    w[p][d] = ((p*131 + d*197) % 7) - 3 over 64 dims."""
+    cases = []
+    for p in range(n_planes):
+        w = [((p * 131 + d * 197) % 7) - 3 for d in range(64)]
+        lit = "[" + ", ".join(f"{x}.0" for x in w) + "]"
+        cases.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(cases)
 
 
 def _lpa_one_round(spark: SparkSession, sf: str) -> DataFrame:
@@ -231,8 +283,136 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id)
         SELECT id, min(r) AS component FROM reach GROUP BY id""",
-        # pagerank / slm / louvain / label_propagation: no ANSI-SQL
-        # equivalent (iterative fixpoints) → rows-only driver check;
-        # value parity is enforced by tests/test_graph_ops.py and
-        # tests/test_slm_spark.py against numpy oracles.
+        # ---------------- textops oracles ----------------
+        "token_stats": """
+        SELECT doc_id, count(*) AS n_tokens,
+               count(DISTINCT token) AS n_distinct_tokens,
+               sum(length(token)) / CAST(count(*) AS DOUBLE) AS avg_token_len
+        FROM (
+          SELECT d.doc_id, t.token
+          FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+          WHERE t.token <> '')
+        GROUP BY 1""",
+        "quality_score": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_txt,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS digit_ratio,
+                 length(regexp_replace(text, '[^ ]', '', 'g'))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS space_ratio
+          FROM documents),
+        stops AS (
+          SELECT d.doc_id,
+                 sum(CASE WHEN t.token IN ({_sql_list(analysis.STOPWORDS_EN)})
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                   AS stop_ratio
+          FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY 1)
+        SELECT b.doc_id, b.n_chars_txt, b.alpha_ratio, b.digit_ratio,
+               b.space_ratio, coalesce(s.stop_ratio, 0.0) AS stop_ratio,
+               round(0.5 * b.alpha_ratio + 0.3 * coalesce(s.stop_ratio, 0.0)
+                     + 0.2 * (1 - b.digit_ratio), 6) AS quality
+        FROM base b LEFT JOIN stops s ON b.doc_id = s.doc_id""",
+        "lang_id": f"""
+        WITH wl(wl_lang, token) AS (VALUES {_lang_values_sql()}),
+        hits AS (
+          SELECT d.doc_id, wl.wl_lang, count(*) AS hits
+          FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+          JOIN wl ON wl.token = t.token
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, wl_lang, hits,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, wl_lang ASC) AS rn
+          FROM hits)
+        SELECT d.doc_id,
+               coalesce(b.wl_lang, 'und') AS lang_pred,
+               coalesce(b.hits, 0) AS lang_hits
+        FROM documents d LEFT JOIN best b
+          ON d.doc_id = b.doc_id AND b.rn = 1""",
+        "exact_duplicates": """
+        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        g AS (SELECT hh, min(doc_id) AS canonical_id, count(*) AS group_size
+              FROM h GROUP BY 1)
+        SELECT h.doc_id, g.canonical_id, g.group_size
+        FROM h JOIN g ON h.hh = g.hh""",
+        "jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        idx AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, greatest(len(ts) - 3, 0) + 1)) AS i
+          FROM toks),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ts[i + 1 : i + 3], chr(31)) AS shingle
+          FROM idx),
+        sh2 AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+        inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+          FROM sh2 l JOIN sh2 r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b,
+               round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b
+        WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.2""",
+        "cosine_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 20 AND b.vec_id < 20""",
+        "cosine_topk": """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))),
+                   6) AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+                 AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 10""",
+        "lsh_buckets": f"""
+        SELECT vec_id, CAST({_lsh_weights_sql(8)} AS BIGINT) AS bucket
+        FROM embeddings""",
+        # pagerank / slm / louvain / label_propagation /
+        # minhash_lsh_candidates / simhash_signatures / ann_topk: no
+        # portable ANSI-SQL equivalent (iterative fixpoints or
+        # engine-specific 64-bit hashes) → rows-only driver check;
+        # value parity is enforced by pytest oracles in tests/.
     }
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _lang_values_sql() -> str:
+    return ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in analysis.LANG_WORDS.items()
+        for w in words
+    )

@@ -198,6 +198,57 @@ def _lm_sweep_kernel_factory(
     return kernel
 
 
+def _sweep_stats(
+    sym: DataFrame,
+    node_w: DataFrame,
+    old_assign: DataFrame,
+    new_assign: DataFrame,
+    two_m: float,
+    gamma: float,
+    quality: str,
+):
+    """(q, n_moves) of `new_assign` in exactly two Spark jobs:
+    one edge-side agg (intra weight), one vertex-side agg
+    (Σ σ_tot² fused with the move count)."""
+    a_src = new_assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    a_dst = new_assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    intra_row = (
+        sym.join(a_src, "src")
+        .join(a_dst, "dst")
+        .agg(
+            F.sum(F.when(F.col("cs") == F.col("cd"), F.col("weight")).otherwise(0.0))
+            .alias("intra")
+        )
+        .first()
+    )
+    intra = float(intra_row["intra"] or 0.0)
+    v = (
+        new_assign.alias("n")
+        .join(old_assign.select("id", F.col("community").alias("old_c")), "id")
+        .join(node_w, "id")
+        .groupBy("community")
+        .agg(
+            F.sum("node_w").alias("sigma"),
+            F.sum(
+                F.when(F.col("community") != F.col("old_c"), 1).otherwise(0)
+            ).alias("mv"),
+        )
+        .agg(
+            F.sum(F.col("sigma") * F.col("sigma")).alias("s2"),
+            F.sum("mv").alias("moves"),
+        )
+        .first()
+    )
+    s2, n_moves = float(v["s2"] or 0.0), int(v["moves"] or 0)
+    if two_m == 0:
+        return 0.0, n_moves
+    if quality == "cpm":
+        q = (intra - gamma * s2) / two_m
+    else:
+        q = intra / two_m - gamma * s2 / (two_m * two_m)
+    return q, n_moves
+
+
 def _distributed_local_moving(
     sym: DataFrame,
     node_w: DataFrame,
@@ -209,6 +260,7 @@ def _distributed_local_moving(
     gamma: float,
     quality: str,
     q_guard: bool,
+    two_m: float,
 ) -> DataFrame:
     """Superstep local moving with adaptive damping.
 
@@ -218,9 +270,13 @@ def _distributed_local_moving(
     this converges because damping shrinks the simultaneous-move set
     toward the sequential regime; on acceptance the fraction relaxes
     back up.  Stops at n_moves == 0, `max_sweeps`, or `patience`
-    consecutive rejections."""
+    consecutive rejections.
+
+    Per-sweep cost: kernel job (checkpoint) + 2 stats jobs — the sweep
+    stats (Q + move count) are fused into single passes (edge-side and
+    vertex-side) so driver-loop latency stays bounded."""
     assign = assign.localCheckpoint(eager=True)
-    best_q = modularity(sym, assign, gamma=gamma, quality=quality) if q_guard else None
+    best_q, _ = _sweep_stats(sym, node_w, assign, assign, two_m, gamma, quality)
     move_frac = 1.0
     patience = 4
     stall = 0
@@ -264,17 +320,13 @@ def _distributed_local_moving(
         )
         new_assign = _canonical_labels(new_assign).localCheckpoint(eager=True)
 
-        n_moves = (
-            new_assign.alias("n")
-            .join(assign.alias("o"), "id")
-            .where(F.col("n.community") != F.col("o.community"))
-            .count()
+        q, n_moves = _sweep_stats(
+            sym, node_w, assign, new_assign, two_m, gamma, quality
         )
         if n_moves == 0:
             new_assign.unpersist()
             break
         if q_guard:
-            q = modularity(sym, new_assign, gamma=gamma, quality=quality)
             if q <= best_q + 1e-12:
                 stall += 1
                 move_frac = max(0.125, move_frac / 2)  # damp; retry from best
@@ -361,7 +413,14 @@ def _split_communities(
         .join(relabeled.alias("r"), "id", "left")
         .select("id", F.coalesce(F.col("r.community"), F.col("id")).alias("community"))
     )
-    return out
+    # parent map (subcommunity → step-a parent community) — the SLM
+    # §1.2(4c) warm start for the next level's initial clustering
+    parent_map = (
+        out.join(assign.select("id", F.col("community").alias("parent")), "id")
+        .select(F.col("community").alias("id"), F.col("parent").alias("community"))
+        .distinct()
+    )
+    return out, parent_map
 
 
 # ---------------------------------------------------------- scale mode
@@ -379,9 +438,24 @@ def slm_scale(
     q_guard: bool = True,
     checkpointer=None,
     variant: str = "slm",
+    resume: bool = False,
+    n_iterations: int = 1,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
-    Returns (assign, q) — q computed on the original graph."""
+    Returns (assign, q) — q computed on the original graph.
+
+    `n_iterations`: iterated SLM (G14) — each pass restarts the level
+    hierarchy from the previous pass's flat assignment (never from
+    singletons), monotonically refining Q; stops early when a pass
+    stops improving.
+
+    With a `checkpointer`, every completed level persists the triple
+    (slm_assign flat labels, slm_supergraph, slm_node_w); passing
+    `resume=True` with a checkpointer holding the same run_id restarts
+    the level loop after the last completed level — the
+    "resumable mid-convergence" contract.  Per-level seeds are
+    `seed + level`, so a resumed run replays the remaining levels
+    exactly as the uninterrupted one would."""
     spark = edges.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
@@ -394,14 +468,55 @@ def slm_scale(
     else:
         resolution2 = gamma / two_m if two_m else 0.0
         nw0 = degrees(sym0).select("id", F.col("w_deg").alias("node_w"))
+    nw0 = nw0.localCheckpoint(eager=True)
 
-    # per-level state
+    flat = None
+    best_q = None
+    for it in range(max(1, n_iterations)):
+        flat = _scale_pass(
+            sym0, nw0, two_m, resolution2, gamma, quality,
+            seed + 7919 * it, max_levels, max_sweeps, n_parts,
+            exact_threshold, q_guard, variant, checkpointer,
+            step_offset=it * max_levels, init_flat=flat,
+            resume=(resume and it == 0),
+        )
+        q = modularity(sym0, flat, gamma=gamma, quality=quality)
+        if best_q is not None and q <= best_q + 1e-9:
+            break
+        best_q = q
+
+    sym0.unpersist()
+    return flat.select("id", "community"), best_q if best_q is not None else q
+
+
+def _scale_pass(
+    sym0, nw0, two_m, resolution2, gamma, quality, seed, max_levels,
+    max_sweeps, n_parts, exact_threshold, q_guard, variant,
+    checkpointer, step_offset, init_flat, resume,
+):
+    """One full SLM/Louvain hierarchy pass (level loop). Returns the
+    flat original-vertex → community assignment."""
     sym_l = sym0
-    node_w_l = nw0.localCheckpoint(eager=True)
-    assign_l = node_w_l.select("id", F.col("id").alias("community"))
+    node_w_l = nw0
+    # level-0 initial clustering: previous pass's result, or singletons
+    assign_l = (
+        init_flat
+        if init_flat is not None
+        else node_w_l.select("id", F.col("id").alias("community"))
+    )
     flat = None  # original-vertex → current-level community
+    level_start = 0
 
-    for level in range(max_levels):
+    if resume and checkpointer is not None:
+        k = checkpointer.latest_step("slm_supergraph")
+        if k is not None:
+            level_start = k + 1 - step_offset
+            sym_l = checkpointer.load_state("slm_supergraph", k).persist()
+            node_w_l = checkpointer.load_state("slm_node_w", k)
+            flat = checkpointer.load_state("slm_assign", k)
+            assign_l = node_w_l.select("id", F.col("id").alias("community"))
+
+    for level in range(level_start, max_levels):
         m_l = sym_l.count()
         if m_l <= exact_threshold:
             assign_l = _exact_finish(
@@ -412,22 +527,24 @@ def slm_scale(
 
         assign_l = _distributed_local_moving(
             sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
-            n_parts, gamma, quality, q_guard,
+            n_parts, gamma, quality, q_guard, two_m,
         )
+        parent_map = None
         if variant == "slm":
-            assign_l = _split_communities(
+            assign_l, parent_map = _split_communities(
                 sym_l, node_w_l, assign_l, resolution2, seed + level
-            ).localCheckpoint(eager=True)
+            )
+            assign_l = assign_l.localCheckpoint(eager=True)
 
         prev_flat = flat
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
         if prev_flat is not None and prev_flat is not flat:
             prev_flat.unpersist()
-        if checkpointer is not None:
-            flat = checkpointer.save_state("slm_assign", level, flat)
 
-        n_vertices = assign_l.count()
-        n_comms = assign_l.select("community").distinct().count()
+        counts = assign_l.agg(
+            F.count("*").alias("nv"), F.countDistinct("community").alias("nc")
+        ).first()
+        n_vertices, n_comms = int(counts["nv"]), int(counts["nc"])
         if n_comms >= n_vertices:
             break  # nothing merged at this level → converged
 
@@ -442,22 +559,27 @@ def slm_scale(
             sym_l.unpersist()
         sym_l = super_edges.persist()
         node_w_l = node_w_next.localCheckpoint(eager=True)
-        # next level starts from singleton super-nodes; SLM's "grouped
-        # by parent" init is encoded in the labels themselves (each
-        # super-node *is* a step-b subcommunity; its parent grouping is
-        # re-discovered by the next LM pass from the edge structure)
-        assign_l = node_w_l.select("id", F.col("id").alias("community"))
+        # next level's initial clustering: SLM groups subcommunities by
+        # their step-a parent (§1.2(4c) warm start); Louvain starts
+        # from singleton super-nodes
+        if parent_map is not None:
+            assign_l = parent_map.localCheckpoint(eager=True)
+        else:
+            assign_l = node_w_l.select("id", F.col("id").alias("community"))
         if checkpointer is not None:
-            checkpointer.save_state("slm_supergraph", level, sym_l)
+            # complete level snapshot: (flat labels, supergraph, node
+            # weights) — everything `resume` needs to restart here
+            step = step_offset + level
+            flat = checkpointer.save_state("slm_assign", step, flat)
+            checkpointer.save_state("slm_node_w", step, node_w_l)
+            checkpointer.save_state("slm_supergraph", step, sym_l)
             checkpointer.log_metric(
-                op="slm", level=level, edges=m_l, communities=n_comms
+                op="slm", level=level, step=step, edges=m_l, communities=n_comms
             )
 
-    q = modularity(sym0, flat, gamma=gamma, quality=quality)
     if sym_l is not sym0:
         sym_l.unpersist()
-    sym0.unpersist()
-    return flat.select("id", "community"), q
+    return flat
 
 
 def _merge_down(flat: DataFrame, level_assign: DataFrame) -> DataFrame:

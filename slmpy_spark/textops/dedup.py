@@ -1,0 +1,246 @@
+"""Deduplication over documents: exact (content hash), MinHash+LSH
+near-dup candidates, SimHash, exact n-gram Jaccard verification.
+
+Scale shapes (the 100 TB story):
+- exact: one groupBy on md5(text) — single shuffle, min(doc_id) is the
+  canonical representative.
+- MinHash+LSH: shingle → k minhashes → band buckets → candidate pairs
+  via per-bucket self-join; verification (true Jaccard) runs only on
+  candidates.  Banding keeps the self-join per-bucket tiny; a global
+  all-pairs join never happens.
+- SimHash: 64-bit signature per doc via vectorized numpy kernel
+  (mapInPandas, Arrow-batched); near-dups = signatures at small
+  Hamming distance, bucketed by 16-bit blocks (Charikar / Manku et al.
+  WWW'07 scheme).
+- exact Jaccard (`ngram_jaccard_pairs`): token-set self-join — the
+  verify stage; also the small-scale oracle for LSH recall.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for minhash permutations: keeps every product
+# a_i * hx + b_i under 2^38, far from int64 overflow (Spark 4 runs
+# ANSI mode — overflow is an error, not a wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min doc_id with
+    byte-identical text; group_size = #docs sharing the text."""
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    g = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return h.join(g, "h").select("doc_id", "canonical_id", "group_size")
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    if n == 1:
+        sh = toks.select("doc_id", F.explode("ts").alias("shingle"))
+    else:
+        # concat token windows [i, i+n) with '\x1f' separators
+        sh = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("ts") - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        "\x1f", F.slice("ts", i + 1, n)
+                    ),
+                )
+            ).alias("shingle"),
+        ).where(F.length("shingle") > 0)
+    return sh.distinct()
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>): k minhash values over word-shingle
+    sets.  h_i(x) = (a_i * xxhash64(x) + b_i) mod M with deterministic
+    (a_i, b_i); min per doc per i — all built-in expressions
+    (explode + groupBy(min)), no Python."""
+    sh = _shingles(docs, shingle_n).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("hx")
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("hx") * F.lit(2 * i + 1) + F.lit((i * 0x9E3779B9) % _MERSENNE),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a, b) a<b via banded MinHash-LSH:
+    docs sharing any band of k/bands consecutive minhashes collide."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k=k, shingle_n=shingle_n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
+    r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-shingle Jaccard similarity pairs (a, b, jaccard ≥
+    threshold, a<b).  With `candidates` (e.g. from lsh_candidates) the
+    intersection join is restricted to those pairs — the verify stage;
+    without, it's the exact small-scale oracle (all co-shingled pairs).
+    """
+    sh = _shingles(docs, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l = sh.select(F.col("doc_id").alias("a"), "shingle")
+    r = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        l.join(r, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for pdf in batches:
+        out_id, out_sig = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [t for t in (text or "").split(" ") if t]
+            if not toks:
+                out_id.append(doc_id)
+                out_sig.append(0)
+                continue
+            # deterministic 64-bit token hash (FNV-1a), vectorized bits
+            hs = np.zeros(len(toks), dtype=np.uint64)
+            for i, t in enumerate(toks):
+                h = np.uint64(0xCBF29CE484222325)
+                for ch in t.encode("utf-8"):
+                    h = ((h ^ np.uint64(ch)) * np.uint64(0x100000001B3)) & mask
+                hs[i] = h
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out_id.append(doc_id)
+            out_sig.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        yield pd.DataFrame({"doc_id": out_id, "simhash": out_sig})
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): 64-bit Charikar simhash over whitespace
+    tokens (FNV-1a token hash, majority vote per bit)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_batches, "doc_id long, simhash long"
+    )
+
+
+def simhash_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: bucket on each of the four 16-bit
+    blocks (any pair within Hamming distance ≤ 3 of 64 bits shares at
+    least one identical block by pigeonhole when distance < 4), then
+    verify Hamming distance exactly. Returns (a, b, hamming)."""
+    sig = simhash_signatures(docs).persist()
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.bv")
+    l = blocks.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "blk", "bv"
+    )
+    r = blocks.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "blk", "bv"
+    )
+    pairs = (
+        l.join(r, ["blk", "bv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    ham = pairs.select(
+        "a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming")
+    )
+    return ham.where(F.col("hamming") <= max_hamming)

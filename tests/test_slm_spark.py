@@ -91,8 +91,10 @@ def test_slm_scale_powerlaw_reasonable_q(spark):
     of the sequential oracle's Q (heuristics, different visit orders)."""
     und = G.g_powerlaw(n=300, m_target=900, seed=42)
     e = edges_df(spark, und)
+    # production path: distributed LM+split at level 0 (graph above the
+    # exact threshold), exact kernel for the shrunken super-levels
     assign, q = engine.slm(
-        e, seed=42, mode="scale", n_parts=4, exact_threshold=0, max_sweeps=6
+        e, seed=42, mode="scale", n_parts=4, exact_threshold=600, max_sweeps=8
     )
     _, oq = O.slm_oracle(und, seed=42)
     assert q >= oq - 0.03
