@@ -48,10 +48,12 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
+        print(f"[bench] {name}: {dt:.2f}s", file=sys.stderr, flush=True)
         return out
 
     # edge derivation (materialized once, reused by every operator)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
+from slmpy_spark.util import materialize
 
 
 def connected_components(
@@ -40,7 +41,7 @@ def connected_components(
         return spark.createDataFrame([], "id long, component long")
 
     labels = verts.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(materialize)
 
     for it in range(max_iter):
         # gather: candidate = min(own label, min over neighbors' labels)
@@ -68,7 +69,7 @@ def connected_components(
                 "id", F.coalesce(F.col("jcomp"), F.col("component")).alias("component")
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(materialize)
 
         changed = (
             new_labels.alias("n")

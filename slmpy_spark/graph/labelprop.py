@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
+from slmpy_spark.util import materialize
 
 
 def label_propagation(
@@ -32,11 +33,11 @@ def label_propagation(
     verts = vertices(edges).persist()
 
     labels = verts.select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(materialize)
 
     for it in range(max_iter):
         new_labels = lpa_round(sym, labels, verts)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

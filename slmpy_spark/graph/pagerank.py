@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import out_degrees, vertices
+from slmpy_spark.util import materialize
 
 
 def pagerank(
@@ -60,7 +61,7 @@ def pagerank(
     contrib_edges.count()  # materialize
 
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(materialize)
 
     # vertices with no out-edges (dangling); when there are none the
     # per-iteration mass job is skipped entirely (common for
@@ -99,20 +100,23 @@ def pagerank(
                 ),
             )
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = new_ranks.transform(materialize)
 
-        delta_row = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-            .first()
-        )
+        delta = None
+        if tol > 0.0:  # fixed-iteration runs skip the convergence job
+            delta_row = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .first()
+            )
+            delta = float(delta_row["d"] or 0.0)
         old = ranks
         ranks = new_ranks
         old.unpersist()
         if checkpointer is not None and (it + 1) % checkpoint_interval == 0:
             ranks = checkpointer.save_state("pagerank_ranks", it, ranks)
-        if float(delta_row["d"] or 0.0) < tol:
+        if delta is not None and delta < tol:
             break
 
     if checkpointer is not None:

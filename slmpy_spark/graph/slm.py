@@ -45,8 +45,17 @@ from slmpy_spark.graph import kernels
 from slmpy_spark.graph.aggregate import aggregate_graph
 from slmpy_spark.graph.edges import degrees, symmetrize, total_weight, vertices
 from slmpy_spark.graph.modularity import modularity
+from slmpy_spark.util import materialize
 
 ASSIGN_SCHEMA = "id long, community long"
+
+import os as _os
+import sys as _sys
+import time as _time
+
+def _dbg(msg: str) -> None:
+    if _os.environ.get("SLMPY_DEBUG"):
+        print(f"[slm {_time.strftime('%H:%M:%S')}] {msg}", file=_sys.stderr, flush=True)
 
 
 # ------------------------------------------------------------- helpers
@@ -275,7 +284,7 @@ def _distributed_local_moving(
     Per-sweep cost: kernel job (checkpoint) + 2 stats jobs — the sweep
     stats (Q + move count) are fused into single passes (edge-side and
     vertex-side) so driver-loop latency stays bounded."""
-    assign = assign.localCheckpoint(eager=True)
+    assign = assign.transform(materialize)
     best_q, _ = _sweep_stats(sym, node_w, assign, assign, two_m, gamma, quality)
     move_frac = 1.0
     patience = 4
@@ -305,6 +314,13 @@ def _distributed_local_moving(
                 F.pmod(F.xxhash64("src", F.lit(seed * 97 + sweep)), F.lit(n_parts)),
             )
         )
+        if _os.environ.get("SLMPY_DEBUG"):
+            _dbg(
+                f"sweep {sweep} frac={move_frac} plansizes rows="
+                f"{len(rows._jdf.queryExecution().analyzed().treeString())} "
+                f"assign={len(assign._jdf.queryExecution().analyzed().treeString())} "
+                f"kernel start"
+            )
         moved = rows.groupBy("pkey").applyInPandas(
             _lm_sweep_kernel_factory(resolution2, seed, sweep, move_frac),
             ASSIGN_SCHEMA,
@@ -318,11 +334,18 @@ def _distributed_local_moving(
                 F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
             )
         )
-        new_assign = _canonical_labels(new_assign).localCheckpoint(eager=True)
+        # labels stay OPAQUE during sweeps — canonicalizing here would
+        # erase concurrent moves (node j joins community "c" while c's
+        # min member departs → relabel renames the group and j's join
+        # evaporates).  Canonical min-member-id labels are applied once
+        # after convergence.
+        new_assign = new_assign.transform(materialize)
+        _dbg(f"sweep {sweep} checkpointed; stats...")
 
         q, n_moves = _sweep_stats(
             sym, node_w, assign, new_assign, two_m, gamma, quality
         )
+        _dbg(f"sweep {sweep} q={q:.6f} moves={n_moves}")
         if n_moves == 0:
             new_assign.unpersist()
             break
@@ -339,10 +362,11 @@ def _distributed_local_moving(
             move_frac = min(1.0, move_frac * 1.5)
         assign = new_assign
         owned.append(assign)
+    assign_out = _canonical_labels(assign).transform(materialize)
     for df in owned:
-        if df is not assign:
+        if df is not assign_out:
             df.unpersist()
-    return assign
+    return assign_out
 
 
 # ----------------------------------------- scale mode: community split
@@ -468,7 +492,7 @@ def slm_scale(
     else:
         resolution2 = gamma / two_m if two_m else 0.0
         nw0 = degrees(sym0).select("id", F.col("w_deg").alias("node_w"))
-    nw0 = nw0.localCheckpoint(eager=True)
+    nw0 = nw0.transform(materialize)
 
     flat = None
     best_q = None
@@ -518,29 +542,35 @@ def _scale_pass(
 
     for level in range(level_start, max_levels):
         m_l = sym_l.count()
+        _dbg(f"level {level}: m={m_l}")
         if m_l <= exact_threshold:
+            _dbg(f"level {level}: exact finish (m={m_l})")
             assign_l = _exact_finish(
                 sym_l, node_w_l, assign_l, resolution2, seed + level, variant
             )
+            _dbg(f"level {level}: exact finish done")
             flat = assign_l if flat is None else _merge_down(flat, assign_l)
             break
 
+        lm_parts = max(1, min(n_parts, m_l // 50_000))
         assign_l = _distributed_local_moving(
             sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
-            n_parts, gamma, quality, q_guard, two_m,
+            lm_parts, gamma, quality, q_guard, two_m,
         )
+        _dbg(f"level {level}: LM done, splitting")
         parent_map = None
         if variant == "slm":
             assign_l, parent_map = _split_communities(
                 sym_l, node_w_l, assign_l, resolution2, seed + level
             )
-            assign_l = assign_l.localCheckpoint(eager=True)
+            assign_l = assign_l.transform(materialize)
 
         prev_flat = flat
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
         if prev_flat is not None and prev_flat is not flat:
             prev_flat.unpersist()
 
+        _dbg(f"level {level}: split done, counting")
         counts = assign_l.agg(
             F.count("*").alias("nv"), F.countDistinct("community").alias("nc")
         ).first()
@@ -555,15 +585,17 @@ def _scale_pass(
             .agg(F.sum("node_w").alias("node_w"))
             .select(F.col("community").alias("id"), "node_w")
         )
-        if sym_l is not sym0:
-            sym_l.unpersist()
-        sym_l = super_edges.persist()
-        node_w_l = node_w_next.localCheckpoint(eager=True)
+        old_sym = sym_l
+        sym_l = super_edges.transform(materialize)
+        if old_sym is not sym0:
+            old_sym.unpersist()
+        node_w_l = node_w_next.transform(materialize)
         # next level's initial clustering: SLM groups subcommunities by
         # their step-a parent (§1.2(4c) warm start); Louvain starts
         # from singleton super-nodes
+        _dbg(f"level {level}: aggregated, nv/nc={n_vertices}/{n_comms}")
         if parent_map is not None:
-            assign_l = parent_map.localCheckpoint(eager=True)
+            assign_l = parent_map.transform(materialize)
         else:
             assign_l = node_w_l.select("id", F.col("id").alias("community"))
         if checkpointer is not None:
@@ -588,7 +620,7 @@ def _merge_down(flat: DataFrame, level_assign: DataFrame) -> DataFrame:
         F.col("id").alias("community"), F.col("community").alias("new_c")
     )
     out = flat.join(r, "community").select("id", F.col("new_c").alias("community"))
-    return out.localCheckpoint(eager=True)
+    return out.transform(materialize)
 
 
 def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant):

@@ -1,0 +1,47 @@
+"""Iteration utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Physically truncate an iteration-state DataFrame's lineage AND
+    its inherited size statistics.
+
+    Why not plain ``localCheckpoint``: Dataset.checkpoint copies the
+    parent plan's *estimated* ``sizeInBytes`` into the LogicalRDD it
+    returns.  Iterative loops whose per-step plan joins the state with
+    itself (assign ⋈ assign on src/dst) then square the estimate every
+    step — sizeInBytes is a BigInt, its bit-length doubles per sweep,
+    and after ~20 sweeps Catalyst spends minutes per query multiplying
+    million-bit BigIntegers inside SizeInBytesOnlyStatsPlanVisitor
+    (observed; join size estimate = product of child estimates, leaves
+    start at defaultSizeInBytes = 2^63).
+
+    Why not ``persist()+count``: un-persisting the superseded state
+    cascades (CacheManager invalidates dependent entries), evicting the
+    *current* state's cache and forcing full-lineage replans.
+
+    Fix: localCheckpoint (physical truncation), then rebuild the
+    DataFrame directly over the checkpointed *internal* RDD —
+    zero-copy, JVM-only — which resets stats to the constant default.
+    The rebuilt frame keeps a handle to the checkpoint so
+    ``.unpersist()`` frees the real blocks.  AQE picks
+    broadcast/shuffled joins from runtime sizes, so the default leaf
+    estimate costs nothing.  Durable truncation across restarts is the
+    Checkpointer's job (parquet/Iceberg snapshots).
+    """
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jdf = ck._jdf
+        j2 = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(j2, spark)
+    except Exception:  # non-classic sessions (connect): keep the ckpt
+        return ck
+    # route unpersist to the checkpoint that owns the blocks
+    out.unpersist = ck.unpersist  # type: ignore[method-assign]
+    return out
