@@ -43,19 +43,26 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling-{cpus}")
     .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
     .config("spark.sql.adaptive.enabled", "true")
+    # sandbox inputs are a few hundred MB; the default 64MB advisory
+    # size would coalesce every reduce stage to ~4 tasks and hide the
+    # core-count scaling that data volume provides in production
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     .config("spark.driver.memory", "24g")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-from tests.genfixtures import g_powerlaw
+from tests.genfixtures import g_powerlaw_arrays
 from slmpy_spark import engine
+import pandas as pd
 
-und = g_powerlaw(n=n_nodes, m_target=m_target, seed=42)
-edges = spark.createDataFrame(
-    [(int(s), int(d), float(w)) for s, d, w in und],
-    "src long, dst long, weight double",
-).repartition(max(cpus, 8)).persist()
+gsrc, gdst, gw = g_powerlaw_arrays(n=n_nodes, m_target=m_target, seed=42)
+pdf = pd.DataFrame({"src": gsrc, "dst": gdst, "weight": gw})
+edges = (
+    spark.createDataFrame(pdf)  # Arrow path
+    .repartition(max(cpus, 8))
+    .persist()
+)
 m = edges.count()
 
 # warm-up: one cheap action through the whole stack

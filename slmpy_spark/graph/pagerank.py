@@ -52,10 +52,18 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
-    # out-edge contribution fraction, fixed across iterations
+    # out-edge contribution fraction, fixed across iterations.
+    # Persisted PRE-HASH-PARTITIONED on the join key: the cached
+    # relation's outputPartitioning satisfies the per-iteration join's
+    # requirement, so the 2m-row edge side is shuffled ONCE for the
+    # whole run and only the (vertex-sized) ranks side moves per
+    # iteration — the big-win layout for iterative joins (bucketing
+    # achieves the same across jobs at real scale).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     contrib_edges = (
         edges.join(out_degrees(edges), edges.src == F.col("id"), "inner")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("frac"))
+        .repartition(n_parts, "src")
         .persist()
     )
     contrib_edges.count()  # materialize

@@ -140,69 +140,128 @@ def _lm_sweep_kernel_factory(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame({"id": [], "community": []})
+            return pd.DataFrame(
+                {"id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}
+            )
         pdf = pdf.sort_values("src", kind="stable")
         src = pdf["src"].to_numpy(np.int64)
         dst = pdf["dst"].to_numpy(np.int64)
         wgt = pdf["weight"].to_numpy(np.float64)
         c_dst = pdf["c_dst"].to_numpy(np.int64)
+        c_src_rows = pdf["c_src"].to_numpy(np.int64)
 
         uniq_src, first_idx = np.unique(src, return_index=True)
-        starts = np.append(first_idx, src.size)
-        w_src = pdf["w_src"].to_numpy(np.float64)[first_idx]
-        c_src = pdf["c_src"].to_numpy(np.int64)[first_idx]
+        n_local = uniq_src.size
+        counts = np.diff(np.append(first_idx, src.size))
+        row_src = np.repeat(np.arange(n_local), counts)  # local src idx per row
+        w_node = pdf["w_src"].to_numpy(np.float64)[first_idx]
+        c_node = c_src_rows[first_idx]
 
-        # totals snapshot: every community seen in the partition
-        sigma: dict[int, float] = {}
+        # dense local community universe: snapshot communities plus one
+        # fresh-singleton slot per local node (label -(id+1); ascending
+        # universe order == ascending label order → tie-breaks stay
+        # "lowest community id" under dense indices)
+        singles = -(uniq_src + 1)
+        universe = np.unique(np.concatenate([c_node, c_dst, singles]))
+
+        def dense(a):
+            return np.searchsorted(universe, a)
+
+        sigma = np.zeros(universe.size)
         for c_arr, s_arr in (
-            (pdf["c_src"].to_numpy(np.int64), pdf["sigma_src"].to_numpy(np.float64)),
+            (c_src_rows, pdf["sigma_src"].to_numpy(np.float64)),
             (c_dst, pdf["sigma_dst"].to_numpy(np.float64)),
         ):
             cu, iu = np.unique(c_arr, return_index=True)
-            for c, s in zip(cu.tolist(), s_arr[iu].tolist()):
-                sigma[c] = s
+            sigma[dense(cu)] = s_arr[iu]
 
-        cur = dict(zip(uniq_src.tolist(), c_src.tolist()))  # local live view
-        nw = dict(zip(uniq_src.tolist(), w_src.tolist()))
+        cur = dense(c_node)  # live community (dense idx) per local node
+        single_idx = dense(singles)
+        cand_snap = dense(c_dst)  # per-row dst community, snapshot
+
+        # rows whose dst is itself a local node use the LIVE community
+        dst_pos = np.searchsorted(uniq_src, dst)
+        dst_pos_c = np.minimum(dst_pos, n_local - 1)
+        dst_is_local = uniq_src[dst_pos_c] == dst
+
+        if move_frac < 1.0:
+            h = (uniq_src * 2654435761 + sweep * 40503 + seed) % (1 << 32)
+            can_move = (h / (1 << 32)) < move_frac
+        else:
+            can_move = np.ones(n_local, dtype=bool)
+
+        # seeded random chunking: each chunk decides vectorized against
+        # the σ/labels left by previous chunks — bounded staleness, the
+        # vectorized stand-in for the reference's sequential visit order
         rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + sweep))
-        order = rng.permutation(uniq_src.size)
+        order = rng.permutation(n_local)
+        n_chunks = int(min(64, max(1, n_local // 256)))
+        chunk_of = np.empty(n_local, dtype=np.int64)
+        chunk_of[order] = np.arange(n_local) * n_chunks // n_local
+        row_chunk = chunk_of[row_src]
+        row_order = np.argsort(row_chunk, kind="stable")
+        chunk_counts = np.bincount(row_chunk, minlength=n_chunks)
+        chunk_starts = np.concatenate([[0], np.cumsum(chunk_counts)])
 
-        out_id, out_c = [], []
-        for oi in order:
-            j = int(uniq_src[oi])
-            if move_frac < 1.0:
-                h = (j * 2654435761 + sweep * 40503 + seed) % (1 << 32)
-                if h / (1 << 32) >= move_frac:
-                    out_id.append(j)
-                    out_c.append(cur[j])
-                    continue
-            lo, hi = int(starts[oi]), int(starts[oi + 1])
-            cj = cur[j]
-            wj = nw[j]
-            sigma[cj] = sigma.get(cj, 0.0) - wj  # remove self
+        for k in range(n_chunks):
+            rows = row_order[chunk_starts[k] : chunk_starts[k + 1]]
+            nodes_k = np.flatnonzero((chunk_of == k) & can_move)
+            if nodes_k.size == 0:
+                continue
+            rows = rows[can_move[row_src[rows]]]
 
-            # candidate communities: live local labels override snapshot
-            nb = dst[lo:hi]
-            ncl = np.array(
-                [cur.get(int(d), int(c)) for d, c in zip(nb, c_dst[lo:hi])],
-                dtype=np.int64,
-            )
-            uniqc, inv = np.unique(ncl, return_inverse=True)
-            kic = np.bincount(inv, weights=wgt[lo:hi])
-            sig = np.array([sigma.get(int(c), 0.0) for c in uniqc])
-            gain = kic - wj * sig * resolution2
-            bi = int(np.argmax(gain))
-            if gain[bi] > 0.0:
-                best = int(uniqc[bi])
+            if rows.size:
+                cand = np.where(
+                    dst_is_local[rows], cur[dst_pos_c[rows]], cand_snap[rows]
+                )
+                s_loc = row_src[rows]
+                o2 = np.lexsort((cand, s_loc))
+                s2, c2, w2 = s_loc[o2], cand[o2], wgt[rows][o2]
+                newseg = np.empty(s2.size, dtype=bool)
+                newseg[0] = True
+                newseg[1:] = (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+                seg_starts = np.flatnonzero(newseg)
+                kic = np.add.reduceat(w2, seg_starts)
+                seg_src, seg_cand = s2[seg_starts], c2[seg_starts]
+
+                # σ with the mover itself removed when candidate == its
+                # current community (the reference removes i first)
+                sig_pair = sigma[seg_cand] - w_node[seg_src] * (
+                    seg_cand == cur[seg_src]
+                )
+                gain = kic - w_node[seg_src] * sig_pair * resolution2
+
+                src_newseg = np.empty(seg_src.size, dtype=bool)
+                src_newseg[0] = True
+                src_newseg[1:] = seg_src[1:] != seg_src[:-1]
+                src_starts = np.flatnonzero(src_newseg)
+                gmax = np.maximum.reduceat(gain, src_starts)
+                seg_of_pair = np.cumsum(src_newseg) - 1
+                is_max = gain == gmax[seg_of_pair]
+                pair_idx = np.arange(gain.size)
+                first_max = np.minimum.reduceat(
+                    np.where(is_max, pair_idx, gain.size), src_starts
+                )
+                with_rows = seg_src[src_starts]  # local node ids w/ nbrs
+                best_cand = seg_cand[first_max]
+                new_c_rows = np.where(
+                    gmax > 0.0, best_cand, single_idx[with_rows]
+                )
             else:
-                best = -(j + 1)  # fresh singleton (negative id space;
-                # canonicalized to min-member-id after the sweep)
-            sigma[best] = sigma.get(best, 0.0) + wj
-            if best != cj:
-                cur[j] = best
-            out_id.append(j)
-            out_c.append(cur[j])
-        return pd.DataFrame({"id": out_id, "community": out_c})
+                with_rows = np.empty(0, dtype=np.int64)
+                new_c_rows = np.empty(0, dtype=np.int64)
+
+            # chunk movers with no candidate rows → fresh singleton
+            # (sequential semantics: no neighbors ⇒ no positive gain)
+            norow = nodes_k[~np.isin(nodes_k, with_rows)]
+            movers = np.concatenate([with_rows, norow])
+            new_c = np.concatenate([new_c_rows, single_idx[norow]])
+
+            np.subtract.at(sigma, cur[movers], w_node[movers])
+            np.add.at(sigma, new_c, w_node[movers])
+            cur[movers] = new_c
+
+        return pd.DataFrame({"id": uniq_src, "community": universe[cur]})
 
     return kernel
 
@@ -270,6 +329,8 @@ def _distributed_local_moving(
     quality: str,
     q_guard: bool,
     two_m: float,
+    checkpointer=None,
+    level: int = 0,
 ) -> DataFrame:
     """Superstep local moving with adaptive damping.
 
@@ -346,6 +407,11 @@ def _distributed_local_moving(
             sym, node_w, assign, new_assign, two_m, gamma, quality
         )
         _dbg(f"sweep {sweep} q={q:.6f} moves={n_moves}")
+        if checkpointer is not None:
+            checkpointer.log_metric(
+                op="slm_sweep", level=level, sweep=sweep, q=q,
+                n_moves=n_moves, move_frac=move_frac, n_partitions=n_parts,
+            )
         if n_moves == 0:
             new_assign.unpersist()
             break
@@ -556,6 +622,7 @@ def _scale_pass(
         assign_l = _distributed_local_moving(
             sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
             lm_parts, gamma, quality, q_guard, two_m,
+            checkpointer=checkpointer, level=level,
         )
         _dbg(f"level {level}: LM done, splitting")
         parent_map = None

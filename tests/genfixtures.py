@@ -89,6 +89,34 @@ def g_powerlaw(n=1000, m_target=5000, seed=42, hub_frac=0.01):
     return edges
 
 
+def g_powerlaw_arrays(n, m_target, seed=42, hub_frac=0.01):
+    """Large-scale vectorized Chung–Lu generator (inverse-CDF sampling,
+    no Python loops): returns (src, dst, weight) numpy arrays of
+    distinct undirected pairs (src<dst per degree order… src<dst by id)
+    with a planted hub at node 0.  Used by BENCH at 10^6–10^8 edges."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** (-0.7)
+    cdf = np.cumsum(w / w.sum())
+
+    def pick(k):
+        return np.searchsorted(cdf, rng.random(k), side="right").astype(np.int64)
+
+    src = pick(3 * m_target)
+    dst = pick(3 * m_target)
+    mask = src != dst
+    lo = np.minimum(src[mask], dst[mask])
+    hi = np.maximum(src[mask], dst[mask])
+    key = np.unique(lo * n + hi)[:m_target]
+    hub_targets = rng.choice(
+        np.arange(1, n, dtype=np.int64),
+        size=max(1, int(hub_frac * n)),
+        replace=False,
+    )
+    # hub pairs (0, t) have key = t < n — cannot collide with lo>0 keys
+    key = np.unique(np.concatenate([key, hub_targets]))
+    return key // n, key % n, np.ones(key.size, dtype=np.float64)
+
+
 def directed(und_triples):
     """Both directions of an undirected triple list."""
     out = []
