@@ -47,6 +47,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     # size would coalesce every reduce stage to ~4 tasks and hide the
     # core-count scaling that data volume provides in production
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.driver.memory", "24g")
     .config("spark.ui.enabled", "false")
     .getOrCreate())

@@ -122,6 +122,121 @@ def local_moving(
     return update
 
 
+def local_moving_chunked(
+    indptr: np.ndarray,
+    nbr: np.ndarray,
+    wgt: np.ndarray,
+    node_w: np.ndarray,
+    cluster: np.ndarray,
+    resolution2: float,
+    rng: np.random.Generator,
+    max_rounds: int = 16,
+    n_chunks: int = 64,
+) -> bool:
+    """Vectorized local moving for *large* subgraphs (the distributed
+    split kernel's hot path): rounds of seeded-random chunks, each chunk
+    deciding moves vectorized (lexsort + reduceat) against σ totals
+    updated between chunks.  Converges to the same Q-class as the
+    sequential `local_moving` but is ~50× faster per node on big
+    blocks; exact label-sequence parity is NOT preserved (exact mode
+    keeps the sequential kernel).
+
+    Singleton escapes use cluster slots n..2n-1 (slot n+j for node j);
+    labels are compactified before returning.  Mutates `cluster`.
+    """
+    n = indptr.size - 1
+    if n <= 1:
+        return False
+    row_src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    sigma = np.bincount(cluster, weights=node_w, minlength=2 * n).astype(np.float64)
+    update = False
+
+    two_m = float(wgt.sum())
+    e_src = row_src  # alias for the intra-weight Q check
+
+    def q_of(cl):
+        intra = float(wgt[cl[e_src] == cl[nbr]].sum())
+        tot = np.bincount(cl, weights=node_w)
+        return intra - resolution2 * float(tot @ tot)  # monotone in Q
+
+    best_cluster = cluster.copy()
+    best_q = q_of(cluster)
+
+    for _ in range(max_rounds):
+        order = rng.permutation(n)
+        # chunk count: small graphs need MANY small chunks (the chunks
+        # are the sequentialism — one chunk = fully synchronous =
+        # husband-wife oscillation); huge graphs cap at `n_chunks` for
+        # vectorization width
+        k_chunks = int(min(n, max(16, min(n_chunks, n // 64 + 1))))
+        chunk_of = np.empty(n, dtype=np.int64)
+        chunk_of[order] = np.arange(n, dtype=np.int64) * k_chunks // n
+        row_chunk = chunk_of[row_src]
+        row_order = np.argsort(row_chunk, kind="stable")
+        counts = np.bincount(row_chunk, minlength=k_chunks)
+        cstarts = np.concatenate([[0], np.cumsum(counts)])
+
+        moved_round = 0
+        for k in range(k_chunks):
+            rows = row_order[cstarts[k] : cstarts[k + 1]]
+            nodes_k = np.flatnonzero(chunk_of == k)
+            if nodes_k.size == 0:
+                continue
+            if rows.size:
+                cand = cluster[nbr[rows]]
+                s_loc = row_src[rows]
+                o2 = np.lexsort((cand, s_loc))
+                s2, c2, w2 = s_loc[o2], cand[o2], wgt[rows][o2]
+                newseg = np.empty(s2.size, dtype=bool)
+                newseg[0] = True
+                newseg[1:] = (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+                seg_starts = np.flatnonzero(newseg)
+                kic = np.add.reduceat(w2, seg_starts)
+                seg_src, seg_cand = s2[seg_starts], c2[seg_starts]
+                sig_pair = sigma[seg_cand] - node_w[seg_src] * (
+                    seg_cand == cluster[seg_src]
+                )
+                gain = kic - node_w[seg_src] * sig_pair * resolution2
+
+                src_newseg = np.empty(seg_src.size, dtype=bool)
+                src_newseg[0] = True
+                src_newseg[1:] = seg_src[1:] != seg_src[:-1]
+                src_starts = np.flatnonzero(src_newseg)
+                gmax = np.maximum.reduceat(gain, src_starts)
+                seg_of = np.cumsum(src_newseg) - 1
+                is_max = gain == gmax[seg_of]
+                first_max = np.minimum.reduceat(
+                    np.where(is_max, np.arange(gain.size), gain.size), src_starts
+                )
+                with_rows = seg_src[src_starts]
+                new_c_rows = np.where(
+                    gmax > 0.0, seg_cand[first_max], n + with_rows
+                )
+            else:
+                with_rows = np.empty(0, dtype=np.int64)
+                new_c_rows = np.empty(0, dtype=np.int64)
+
+            norow = nodes_k[~np.isin(nodes_k, with_rows)]
+            movers = np.concatenate([with_rows, norow])
+            new_c = np.concatenate([new_c_rows, n + norow])
+
+            changed = new_c != cluster[movers]
+            moved_round += int(changed.sum())
+            np.subtract.at(sigma, cluster[movers], node_w[movers])
+            np.add.at(sigma, new_c, node_w[movers])
+            cluster[movers] = new_c
+        if moved_round == 0:
+            break
+        q = q_of(cluster)
+        if q > best_q + 1e-12:
+            best_q = q
+            best_cluster = cluster.copy()
+            update = True
+    cluster[:] = best_cluster  # reject oscillating tails, keep best-Q state
+    compactify(cluster)
+    return update
+
+
 # --------------------------------------------- subnetworks & reduction
 
 

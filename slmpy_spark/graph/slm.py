@@ -195,7 +195,9 @@ def _lm_sweep_kernel_factory(
         # vectorized stand-in for the reference's sequential visit order
         rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + sweep))
         order = rng.permutation(n_local)
-        n_chunks = int(min(64, max(1, n_local // 256)))
+        # small blocks need MANY small chunks (chunking IS the
+        # sequentialism); big blocks cap at 64 for vectorization width
+        n_chunks = int(min(n_local, max(16, min(64, n_local // 64 + 1))))
         chunk_of = np.empty(n_local, dtype=np.int64)
         chunk_of[order] = np.arange(n_local) * n_chunks // n_local
         row_chunk = chunk_of[row_src]
@@ -456,7 +458,16 @@ def _split_kernel_factory(resolution2: float, seed: int):
         node_w = np.array([nw_map.get(int(i), 0.0) for i in ids])
         cluster = np.arange(len(ids), dtype=np.int64)
         rng = np.random.Generator(np.random.PCG64(seed ^ (comm * 2_654_435_761 % (1 << 63))))
-        kernels.local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+        # sequential kernel for small communities (cheap, closest to
+        # the reference); chunked vectorized kernel for big ones
+        # (a power-law hub community can hold most of the graph — a
+        # per-node Python loop there would serialize the whole stage)
+        if len(ids) <= 4096:
+            kernels.local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+        else:
+            kernels.local_moving_chunked(
+                indptr, nbr, wgt, node_w, cluster, resolution2, rng
+            )
         return pd.DataFrame({"id": ids, "sub": cluster})
 
     return kernel
