@@ -276,12 +276,20 @@ def _sweep_stats(
     two_m: float,
     gamma: float,
     quality: str,
+    bcast: bool = False,
 ):
     """(q, n_moves) of `new_assign` in exactly two Spark jobs:
     one edge-side agg (intra weight), one vertex-side agg
-    (Σ σ_tot² fused with the move count)."""
-    a_src = new_assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
-    a_dst = new_assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    (Σ σ_tot² fused with the move count).  With `bcast`, the
+    vertex-side frames are broadcast so the edge table never
+    shuffles."""
+    hint = F.broadcast if bcast else (lambda df: df)
+    a_src = hint(
+        new_assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    )
+    a_dst = hint(
+        new_assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    )
     intra_row = (
         sym.join(a_src, "src")
         .join(a_dst, "dst")
@@ -333,6 +341,7 @@ def _distributed_local_moving(
     two_m: float,
     checkpointer=None,
     level: int = 0,
+    bcast: bool = False,
 ) -> DataFrame:
     """Superstep local moving with adaptive damping.
 
@@ -348,7 +357,9 @@ def _distributed_local_moving(
     stats (Q + move count) are fused into single passes (edge-side and
     vertex-side) so driver-loop latency stays bounded."""
     assign = assign.transform(materialize)
-    best_q, _ = _sweep_stats(sym, node_w, assign, assign, two_m, gamma, quality)
+    best_q, _ = _sweep_stats(
+        sym, node_w, assign, assign, two_m, gamma, quality, bcast=bcast
+    )
     move_frac = 1.0
     patience = 4
     stall = 0
@@ -360,11 +371,15 @@ def _distributed_local_moving(
             .groupBy("community")
             .agg(F.sum("node_w").alias("sigma"))
         )
-        a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
-        a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
-        nw_src = node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))
-        t_src = comm_tot.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src"))
-        t_dst = comm_tot.select(F.col("community").alias("c_dst"), F.col("sigma").alias("sigma_dst"))
+        # vertex-sized sides broadcast when they fit (the north star's
+        # "broadcast/joined degree table"): the 2m-row edge table then
+        # never shuffles — one scan + map-side joins + the pkey shuffle
+        hint = F.broadcast if bcast else (lambda df: df)
+        a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
+        a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
+        nw_src = hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src")))
+        t_src = hint(comm_tot.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src")))
+        t_dst = hint(comm_tot.select(F.col("community").alias("c_dst"), F.col("sigma").alias("sigma_dst")))
 
         rows = (
             sym.join(a_src, "src")
@@ -406,7 +421,7 @@ def _distributed_local_moving(
         _dbg(f"sweep {sweep} checkpointed; stats...")
 
         q, n_moves = _sweep_stats(
-            sym, node_w, assign, new_assign, two_m, gamma, quality
+            sym, node_w, assign, new_assign, two_m, gamma, quality, bcast=bcast
         )
         _dbg(f"sweep {sweep} q={q:.6f} moves={n_moves}")
         if checkpointer is not None:
@@ -479,15 +494,17 @@ def _split_communities(
     assign: DataFrame,
     resolution2: float,
     seed: int,
+    bcast: bool = False,
 ) -> DataFrame:
     """Re-cluster every community from singletons (may split it).
     New community labels = min member vertex id per subcommunity.
     Members without intra-community edges become singletons (exactly
     the sequential semantics: no neighbors in subnetwork → no positive
     gain → stays alone)."""
-    a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
-    a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
-    nw_src = node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))
+    hint = F.broadcast if bcast else (lambda df: df)
+    a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
+    a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
+    nw_src = hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src")))
     intra = (
         sym.join(a_src, "src")
         .join(a_dst, "dst")
@@ -541,6 +558,7 @@ def slm_scale(
     variant: str = "slm",
     resume: bool = False,
     n_iterations: int = 1,
+    broadcast_threshold: int = 20_000_000,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
     Returns (assign, q) — q computed on the original graph.
@@ -580,6 +598,7 @@ def slm_scale(
             exact_threshold, q_guard, variant, checkpointer,
             step_offset=it * max_levels, init_flat=flat,
             resume=(resume and it == 0),
+            broadcast_threshold=broadcast_threshold,
         )
         q = modularity(sym0, flat, gamma=gamma, quality=quality)
         if best_q is not None and q <= best_q + 1e-9:
@@ -594,6 +613,7 @@ def _scale_pass(
     sym0, nw0, two_m, resolution2, gamma, quality, seed, max_levels,
     max_sweeps, n_parts, exact_threshold, q_guard, variant,
     checkpointer, step_offset, init_flat, resume,
+    broadcast_threshold=20_000_000,
 ):
     """One full SLM/Louvain hierarchy pass (level loop). Returns the
     flat original-vertex → community assignment."""
