@@ -46,45 +46,43 @@ def connected_components(
     for it in range(max_iter):
         # gather: candidate = min(own label, min over neighbors' labels)
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id, "inner")
+            sym.join(labels.select("id", "component"), sym.dst == F.col("id"), "inner")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        cand = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("component").alias("old_c"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # path halving: component ← label of component (pointer jump);
+        # the changed flag rides along so convergence detection is a
+        # cheap scan of the materialized frame, not a second join job
+        jump = cand.select(F.col("id").alias("jid"), F.col("component").alias("jcomp"))
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            cand.join(jump, cand.component == jump.jid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        # path halving: component ← label of component (pointer jump)
-        jump = new_labels.select(
-            F.col("id").alias("jid"), F.col("component").alias("jcomp")
-        )
-        new_labels = (
-            new_labels.join(jump, new_labels.component == jump.jid, "left")
-            .select(
-                "id", F.coalesce(F.col("jcomp"), F.col("component")).alias("component")
+                F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
+                (F.coalesce(F.col("jcomp"), F.col("component")) != F.col("old_c"))
+                .cast("int")
+                .alias("changed"),
             )
         )
         new_labels = new_labels.transform(materialize)
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = int(new_labels.agg(F.sum("changed")).first()[0] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
-            labels = checkpointer.save_state("cc_labels", it, labels)
+            reread = checkpointer.save_state("cc_labels", it, labels)
+            labels.unpersist()
+            labels = reread
         if changed == 0:
             break
 
     sym.unpersist()
     verts.unpersist()
-    return labels
+    return labels.select("id", "component")

@@ -17,7 +17,7 @@ filter never materializes a hub's full candidate list on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
@@ -36,44 +36,50 @@ def label_propagation(
     labels = labels.transform(materialize)
 
     for it in range(max_iter):
-        new_labels = lpa_round(sym, labels, verts)
+        # the changed flag rides on the materialized frame so
+        # convergence detection is a cheap scan, not a second join job
+        new_labels = lpa_round(sym, labels, verts, with_changed=True)
         new_labels = new_labels.transform(materialize)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = int(new_labels.agg(F.sum("changed")).first()[0] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
-            labels = checkpointer.save_state("lpa_labels", it, labels)
+            reread = checkpointer.save_state("lpa_labels", it, labels)
+            labels.unpersist()
+            labels = reread
         if changed == 0:
             break
 
     sym.unpersist()
     verts.unpersist()
-    return labels
+    return labels.select("id", "label")
 
 
-def lpa_round(sym: DataFrame, labels: DataFrame, verts: DataFrame) -> DataFrame:
+def lpa_round(
+    sym: DataFrame, labels: DataFrame, verts: DataFrame, with_changed: bool = False
+) -> DataFrame:
     """One synchronous LPA round (SQL-expressible — used by the DuckDB
     oracle in __spark_entry__): adopt the max-weight neighbor label,
-    ties → min label; isolated vertices keep theirs."""
+    ties → min label; isolated vertices keep theirs.
+
+    The argmax is a struct-max hash aggregation (max weight, tie →
+    lowest label via max(w, -label)) — no window sort, so a hub's
+    candidate list is partially combined map-side like any other agg."""
     nbr = (
-        sym.join(labels, sym.dst == labels.id, "inner")
+        sym.join(labels.select("id", "label"), sym.dst == F.col("id"), "inner")
         .groupBy(F.col("src").alias("id"), F.col("label"))
         .agg(F.sum("weight").alias("w"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("label"))
     best = (
-        nbr.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", F.col("label").alias("new_label"))
+        nbr.groupBy("id")
+        .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("b"))
+        .select("id", (-F.col("b.nl")).alias("new_label"))
     )
-    return (
-        verts.join(labels, "id")
-        .join(best, "id", "left")
-        .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-    )
+    cols = ["id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")]
+    if with_changed:
+        cols.append(
+            (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label"))
+            .cast("int")
+            .alias("changed")
+        )
+    return verts.join(labels.select("id", "label"), "id").join(best, "id", "left").select(*cols)

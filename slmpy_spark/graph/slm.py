@@ -9,14 +9,26 @@ Two execution modes (SURVEY.md §5.3):
 
 - **scale**: the distributed path for web-scale graphs.
   Per outer level:
-    1. *distributed local moving*: edges are hash-partitioned by src
-       (per-sweep rotating salt); each partition's kernel builds a CSR
-       block and runs a sequential sweep against a *snapshot* of
-       community totals (joined in as columns — the "broadcast/joined
-       degree table" of the north star), emitting moves; community
-       labels canonicalized to min-member-id between sweeps; a
-       monotone-Q guard rejects sweeps that lower Q (stale-totals
-       oscillation protection).
+    1. *distributed local moving*: a fully JVM-side synchronous sweep.
+       Each sweep computes k_{i,c} (weight from every vertex i to every
+       neighboring community c) as ``groupBy(src, cand).sum(weight)`` —
+       Spark's hash aggregation does map-side partial combine, so a
+       hub page's 10^8 adjacency rows reduce to (hub × #neighbor
+       communities) partials *before* the shuffle: this IS the
+       "salting + partial k_{i,c} re-aggregation" hub-skew plan of
+       SURVEY §5.3, provided by the engine (no single reducer ever
+       sees a hub's full adjacency).  The move decision (argmax gain,
+       tie → lowest community label) is a struct-max aggregation —
+       zero Python in the sweep, whole-stage codegen end to end.
+       Vertex-sided tables (assign / node_w / Σtot) are broadcast when
+       the level's vertex count fits under ``broadcast_threshold``, so
+       the edge table never shuffles for the joins.  A monotone-Q
+       guard with adaptive mover-fraction damping rejects sweeps that
+       lower Q (synchronous-update oscillation protection).  Because
+       decisions depend only on the previous sweep's snapshot — never
+       on partition boundaries — the result is *independent of
+       parallelism* (same labels at local[8] and local[32], modulo FP
+       summation order on non-integer weights).
     2. *subnetwork splitting* (G6): intra-community edges grouped by
        community; ``applyInPandas`` runs LM-from-singletons per
        community — embarrassingly parallel.
@@ -32,6 +44,10 @@ Scale-mode results match the reference's *Q-class* (same modularity to
 1e-6 on graphs with stable optima), not its exact label sequence — the
 sequential visit order is inherently unparallelizable (SURVEY §8-H1);
 exact mode is the label-parity path.
+
+Vertex ids are assumed non-negative (the ingest layer guarantees it):
+scale mode labels an escaped singleton ``-(id+1)`` during sweeps, which
+must not collide with any real vertex id.
 """
 
 from __future__ import annotations
@@ -52,6 +68,13 @@ ASSIGN_SCHEMA = "id long, community long"
 import os as _os
 import sys as _sys
 import time as _time
+
+#: diagnostics from the most recent slm_scale() run on this driver
+#: (single-threaded driver assumption): actual sweep/level/pass counts,
+#: consumed by bench.py / BENCH/run_scaling.py to compute real
+#: edges-per-sweep throughput instead of assuming max_sweeps ran.
+LAST_RUN_STATS: dict = {"sweeps": 0, "levels": 0, "passes": 0}
+
 
 def _dbg(msg: str) -> None:
     if _os.environ.get("SLMPY_DEBUG"):
@@ -78,6 +101,10 @@ def _canonical_labels(assign: DataFrame) -> DataFrame:
     across sweeps; also the scale-mode community id convention)."""
     m = assign.groupBy("community").agg(F.min("id").alias("rep"))
     return assign.join(m, "community").select("id", F.col("rep").alias("community"))
+
+
+def _ident(df: DataFrame) -> DataFrame:
+    return df
 
 
 # ---------------------------------------------------------- exact mode
@@ -123,167 +150,146 @@ def slm_exact(
 # ------------------------------------------------- scale mode: LM sweep
 
 
-def _lm_sweep_kernel_factory(
-    resolution2: float, seed: int, sweep: int, move_frac: float = 1.0
-):
-    """Kernel for one distributed LM superstep. Input rows (one per
-    directed edge of the partition's src nodes):
-        src, dst, weight, c_src, c_dst, w_src, sigma_src, sigma_dst
-    Output: (id, community) — post-sweep assignment for every local src.
+def _propose_moves(
+    sym: DataFrame,
+    node_w: DataFrame,
+    assign: DataFrame,
+    resolution2: float,
+    seed: int,
+    sweep: int,
+    move_frac: float,
+    bcast: bool,
+) -> DataFrame:
+    """One synchronous local-moving sweep, entirely JVM-side.
 
-    `move_frac`: fraction of nodes allowed to move this sweep
-    (deterministic per (id, sweep) hash).  Damps the stale-totals
-    overshoot of synchronous distributed local moving — without it,
-    every node bordering a hub community jumps in simultaneously
-    (the sequential reference would admit a few, update Σtot, and stop).
+    Semantics (mirrors kernels.local_moving against a snapshot):
+    for every eligible vertex i with candidates C = {communities of
+    i's neighbors}:
+
+        gain(i→c) = k_{i,c} − w_i · (Σtot(c) − w_i·[c == c_i]) · γ'
+
+    i moves to argmax-gain (ties → lowest community label) when the
+    best gain is strictly positive; with no positive gain it escapes to
+    a fresh singleton ``-(i+1)`` — unless it is already alone
+    (Σtot(c_i) == w_i), in which case it keeps its label (avoids
+    pointless relabel churn that would inflate the move count).
+
+    `move_frac` < 1 gates eligibility by a deterministic per-(id,
+    sweep) hash — the damping knob for synchronous-update oscillation.
+    The eligibility filter is pushed onto the edge scan, so a damped
+    sweep also aggregates proportionally fewer rows.
+
+    Returns (id, community, moved) for EVERY vertex in `assign`
+    (ineligible / isolated vertices keep their label, moved = 0).
+
+    Scale notes: the k_{i,c} aggregation is a hash groupBy(src, cand)
+    with map-side partial combine — hub-degree skew never concentrates
+    on one reducer (SURVEY §5.3 salting, engine-provided).  With
+    `bcast` every vertex-side input joins map-side; the edge table is
+    scanned once with zero shuffle.  Without `bcast` (vertex table too
+    big to broadcast) the same plan degrades gracefully to shuffled
+    hash joins on src/dst — AQE picks partition counts.
     """
+    hint = F.broadcast if bcast else _ident
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                {"id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}
+    sigma = (
+        assign.join(node_w, "id")
+        .groupBy("community")
+        .agg(F.sum("node_w").alias("sigma"))
+    )
+
+    active = sym
+    if move_frac < 1.0:
+        # deterministic eligibility hash in [0, 2^20); pushed below the
+        # aggregation so damped sweeps scan/aggregate less
+        h = F.pmod(F.xxhash64(F.col("src"), F.lit(seed * 97 + sweep)), F.lit(1 << 20))
+        active = sym.where(h < F.lit(int(move_frac * (1 << 20))))
+
+    kic = (
+        active.join(
+            hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("cand"))),
+            "dst",
+        )
+        .groupBy("src", "cand")
+        .agg(F.sum("weight").alias("kic"))
+    )
+    cand = (
+        kic.join(
+            hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))),
+            "src",
+        )
+        .join(
+            hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))),
+            "src",
+        )
+        .join(
+            hint(sigma.select(F.col("community").alias("cand"), F.col("sigma").alias("sigma_cand"))),
+            "cand",
+        )
+        .join(
+            hint(sigma.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src"))),
+            "c_src",
+        )
+        .withColumn(
+            "gain",
+            F.col("kic")
+            - F.col("w_src")
+            * (
+                F.col("sigma_cand")
+                - F.col("w_src")
+                * F.when(F.col("cand") == F.col("c_src"), F.lit(1.0)).otherwise(F.lit(0.0))
             )
-        pdf = pdf.sort_values("src", kind="stable")
-        src = pdf["src"].to_numpy(np.int64)
-        dst = pdf["dst"].to_numpy(np.int64)
-        wgt = pdf["weight"].to_numpy(np.float64)
-        c_dst = pdf["c_dst"].to_numpy(np.int64)
-        c_src_rows = pdf["c_src"].to_numpy(np.int64)
-
-        uniq_src, first_idx = np.unique(src, return_index=True)
-        n_local = uniq_src.size
-        counts = np.diff(np.append(first_idx, src.size))
-        row_src = np.repeat(np.arange(n_local), counts)  # local src idx per row
-        w_node = pdf["w_src"].to_numpy(np.float64)[first_idx]
-        c_node = c_src_rows[first_idx]
-
-        # dense local community universe: snapshot communities plus one
-        # fresh-singleton slot per local node (label -(id+1); ascending
-        # universe order == ascending label order → tie-breaks stay
-        # "lowest community id" under dense indices)
-        singles = -(uniq_src + 1)
-        universe = np.unique(np.concatenate([c_node, c_dst, singles]))
-
-        def dense(a):
-            return np.searchsorted(universe, a)
-
-        sigma = np.zeros(universe.size)
-        for c_arr, s_arr in (
-            (c_src_rows, pdf["sigma_src"].to_numpy(np.float64)),
-            (c_dst, pdf["sigma_dst"].to_numpy(np.float64)),
-        ):
-            cu, iu = np.unique(c_arr, return_index=True)
-            sigma[dense(cu)] = s_arr[iu]
-
-        cur = dense(c_node)  # live community (dense idx) per local node
-        single_idx = dense(singles)
-        cand_snap = dense(c_dst)  # per-row dst community, snapshot
-
-        # rows whose dst is itself a local node use the LIVE community
-        dst_pos = np.searchsorted(uniq_src, dst)
-        dst_pos_c = np.minimum(dst_pos, n_local - 1)
-        dst_is_local = uniq_src[dst_pos_c] == dst
-
-        if move_frac < 1.0:
-            h = (uniq_src * 2654435761 + sweep * 40503 + seed) % (1 << 32)
-            can_move = (h / (1 << 32)) < move_frac
-        else:
-            can_move = np.ones(n_local, dtype=bool)
-
-        # seeded random chunking: each chunk decides vectorized against
-        # the σ/labels left by previous chunks — bounded staleness, the
-        # vectorized stand-in for the reference's sequential visit order
-        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + sweep))
-        order = rng.permutation(n_local)
-        # small blocks need MANY small chunks (chunking IS the
-        # sequentialism); big blocks cap at 64 for vectorization width
-        n_chunks = int(min(n_local, max(16, min(64, n_local // 64 + 1))))
-        chunk_of = np.empty(n_local, dtype=np.int64)
-        chunk_of[order] = np.arange(n_local) * n_chunks // n_local
-        row_chunk = chunk_of[row_src]
-        row_order = np.argsort(row_chunk, kind="stable")
-        chunk_counts = np.bincount(row_chunk, minlength=n_chunks)
-        chunk_starts = np.concatenate([[0], np.cumsum(chunk_counts)])
-
-        for k in range(n_chunks):
-            rows = row_order[chunk_starts[k] : chunk_starts[k + 1]]
-            nodes_k = np.flatnonzero((chunk_of == k) & can_move)
-            if nodes_k.size == 0:
-                continue
-            rows = rows[can_move[row_src[rows]]]
-
-            if rows.size:
-                cand = np.where(
-                    dst_is_local[rows], cur[dst_pos_c[rows]], cand_snap[rows]
-                )
-                s_loc = row_src[rows]
-                o2 = np.lexsort((cand, s_loc))
-                s2, c2, w2 = s_loc[o2], cand[o2], wgt[rows][o2]
-                newseg = np.empty(s2.size, dtype=bool)
-                newseg[0] = True
-                newseg[1:] = (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
-                seg_starts = np.flatnonzero(newseg)
-                kic = np.add.reduceat(w2, seg_starts)
-                seg_src, seg_cand = s2[seg_starts], c2[seg_starts]
-
-                # σ with the mover itself removed when candidate == its
-                # current community (the reference removes i first)
-                sig_pair = sigma[seg_cand] - w_node[seg_src] * (
-                    seg_cand == cur[seg_src]
-                )
-                gain = kic - w_node[seg_src] * sig_pair * resolution2
-
-                src_newseg = np.empty(seg_src.size, dtype=bool)
-                src_newseg[0] = True
-                src_newseg[1:] = seg_src[1:] != seg_src[:-1]
-                src_starts = np.flatnonzero(src_newseg)
-                gmax = np.maximum.reduceat(gain, src_starts)
-                seg_of_pair = np.cumsum(src_newseg) - 1
-                is_max = gain == gmax[seg_of_pair]
-                pair_idx = np.arange(gain.size)
-                first_max = np.minimum.reduceat(
-                    np.where(is_max, pair_idx, gain.size), src_starts
-                )
-                with_rows = seg_src[src_starts]  # local node ids w/ nbrs
-                best_cand = seg_cand[first_max]
-                new_c_rows = np.where(
-                    gmax > 0.0, best_cand, single_idx[with_rows]
-                )
-            else:
-                with_rows = np.empty(0, dtype=np.int64)
-                new_c_rows = np.empty(0, dtype=np.int64)
-
-            # chunk movers with no candidate rows → fresh singleton
-            # (sequential semantics: no neighbors ⇒ no positive gain)
-            norow = nodes_k[~np.isin(nodes_k, with_rows)]
-            movers = np.concatenate([with_rows, norow])
-            new_c = np.concatenate([new_c_rows, single_idx[norow]])
-
-            np.subtract.at(sigma, cur[movers], w_node[movers])
-            np.add.at(sigma, new_c, w_node[movers])
-            cur[movers] = new_c
-
-        return pd.DataFrame({"id": uniq_src, "community": universe[cur]})
-
-    return kernel
+            * F.lit(resolution2),
+        )
+    )
+    # argmax gain per src; tie-break lowest community label via
+    # max(struct(gain, -cand)); c_src/w_src/sigma_src are constant per src
+    best = cand.groupBy("src").agg(
+        F.max(F.struct(F.col("gain").alias("g"), (-F.col("cand")).alias("nc"))).alias("b"),
+        F.first("c_src").alias("c_src"),
+        F.first("w_src").alias("w_src"),
+        F.first("sigma_src").alias("sigma_src"),
+    )
+    moves = best.select(
+        F.col("src").alias("id"),
+        F.when(F.col("b.g") > F.lit(0.0), -F.col("b.nc"))
+        .when(F.col("sigma_src") > F.col("w_src"), -(F.col("src") + F.lit(1)))
+        .otherwise(F.col("c_src"))
+        .alias("community"),
+    )
+    new_assign = (
+        assign.alias("o")
+        .join(hint(moves).alias("m"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
+            F.when(
+                F.coalesce(F.col("m.community"), F.col("o.community"))
+                != F.col("o.community"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("moved"),
+        )
+    )
+    return new_assign
 
 
 def _sweep_stats(
     sym: DataFrame,
     node_w: DataFrame,
-    old_assign: DataFrame,
     new_assign: DataFrame,
     two_m: float,
     gamma: float,
     quality: str,
     bcast: bool = False,
 ):
-    """(q, n_moves) of `new_assign` in exactly two Spark jobs:
-    one edge-side agg (intra weight), one vertex-side agg
-    (Σ σ_tot² fused with the move count).  With `bcast`, the
-    vertex-side frames are broadcast so the edge table never
-    shuffles."""
-    hint = F.broadcast if bcast else (lambda df: df)
+    """(q, n_moves) of `new_assign` (carrying a `moved` flag column) in
+    exactly two Spark jobs: one edge-side agg (intra weight, map-side
+    joins under `bcast`), one vertex-side agg (Σ σ_tot² fused with the
+    move count — no old-assignment join needed, the sweep emitted the
+    flag)."""
+    hint = F.broadcast if bcast else _ident
     a_src = hint(
         new_assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
     )
@@ -301,16 +307,9 @@ def _sweep_stats(
     )
     intra = float(intra_row["intra"] or 0.0)
     v = (
-        new_assign.alias("n")
-        .join(old_assign.select("id", F.col("community").alias("old_c")), "id")
-        .join(node_w, "id")
+        new_assign.join(node_w, "id")
         .groupBy("community")
-        .agg(
-            F.sum("node_w").alias("sigma"),
-            F.sum(
-                F.when(F.col("community") != F.col("old_c"), 1).otherwise(0)
-            ).alias("mv"),
-        )
+        .agg(F.sum("node_w").alias("sigma"), F.sum("moved").alias("mv"))
         .agg(
             F.sum(F.col("sigma") * F.col("sigma")).alias("s2"),
             F.sum("mv").alias("moves"),
@@ -334,7 +333,6 @@ def _distributed_local_moving(
     resolution2: float,
     seed: int,
     max_sweeps: int,
-    n_parts: int,
     gamma: float,
     quality: str,
     q_guard: bool,
@@ -353,12 +351,14 @@ def _distributed_local_moving(
     back up.  Stops at n_moves == 0, `max_sweeps`, or `patience`
     consecutive rejections.
 
-    Per-sweep cost: kernel job (checkpoint) + 2 stats jobs — the sweep
-    stats (Q + move count) are fused into single passes (edge-side and
-    vertex-side) so driver-loop latency stays bounded."""
-    assign = assign.transform(materialize)
+    Per-sweep cost: 3 Spark jobs — the sweep itself (one edge scan into
+    a (src, cand) partial-agg + argmax, checkpointed), the edge-side
+    intra-weight agg, and a tiny vertex-side agg (σ² fused with the
+    move count)."""
+    assign = assign.select("id", "community").transform(materialize)
     best_q, _ = _sweep_stats(
-        sym, node_w, assign, assign, two_m, gamma, quality, bcast=bcast
+        sym, node_w, assign.withColumn("moved", F.lit(0)), two_m, gamma, quality,
+        bcast=bcast,
     )
     move_frac = 1.0
     patience = 4
@@ -366,68 +366,18 @@ def _distributed_local_moving(
     owned = [assign]  # checkpoints created here, for unpersist hygiene
 
     for sweep in range(max_sweeps):
-        comm_tot = (
-            node_w.join(assign, "id")
-            .groupBy("community")
-            .agg(F.sum("node_w").alias("sigma"))
-        )
-        # vertex-sized sides broadcast when they fit (the north star's
-        # "broadcast/joined degree table"): the 2m-row edge table then
-        # never shuffles — one scan + map-side joins + the pkey shuffle
-        hint = F.broadcast if bcast else (lambda df: df)
-        a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
-        a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
-        nw_src = hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src")))
-        t_src = hint(comm_tot.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src")))
-        t_dst = hint(comm_tot.select(F.col("community").alias("c_dst"), F.col("sigma").alias("sigma_dst")))
-
-        rows = (
-            sym.join(a_src, "src")
-            .join(a_dst, "dst")
-            .join(nw_src, "src")
-            .join(t_src, "c_src")
-            .join(t_dst, "c_dst")
-            .withColumn(
-                "pkey",
-                F.pmod(F.xxhash64("src", F.lit(seed * 97 + sweep)), F.lit(n_parts)),
-            )
-        )
-        if _os.environ.get("SLMPY_DEBUG"):
-            _dbg(
-                f"sweep {sweep} frac={move_frac} plansizes rows="
-                f"{len(rows._jdf.queryExecution().analyzed().treeString())} "
-                f"assign={len(assign._jdf.queryExecution().analyzed().treeString())} "
-                f"kernel start"
-            )
-        moved = rows.groupBy("pkey").applyInPandas(
-            _lm_sweep_kernel_factory(resolution2, seed, sweep, move_frac),
-            ASSIGN_SCHEMA,
-        )
-        # isolated vertices (absent from sym) keep their assignment
-        new_assign = (
-            assign.alias("o")
-            .join(moved.alias("m"), "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
-            )
-        )
-        # labels stay OPAQUE during sweeps — canonicalizing here would
-        # erase concurrent moves (node j joins community "c" while c's
-        # min member departs → relabel renames the group and j's join
-        # evaporates).  Canonical min-member-id labels are applied once
-        # after convergence.
-        new_assign = new_assign.transform(materialize)
-        _dbg(f"sweep {sweep} checkpointed; stats...")
-
+        new_assign = _propose_moves(
+            sym, node_w, assign, resolution2, seed, sweep, move_frac, bcast
+        ).transform(materialize)
+        LAST_RUN_STATS["sweeps"] += 1
         q, n_moves = _sweep_stats(
-            sym, node_w, assign, new_assign, two_m, gamma, quality, bcast=bcast
+            sym, node_w, new_assign, two_m, gamma, quality, bcast=bcast
         )
-        _dbg(f"sweep {sweep} q={q:.6f} moves={n_moves}")
+        _dbg(f"level {level} sweep {sweep} frac={move_frac} q={q:.6f} moves={n_moves}")
         if checkpointer is not None:
             checkpointer.log_metric(
                 op="slm_sweep", level=level, sweep=sweep, q=q,
-                n_moves=n_moves, move_frac=move_frac, n_partitions=n_parts,
+                n_moves=n_moves, move_frac=move_frac,
             )
         if n_moves == 0:
             new_assign.unpersist()
@@ -445,7 +395,9 @@ def _distributed_local_moving(
             move_frac = min(1.0, move_frac * 1.5)
         assign = new_assign
         owned.append(assign)
-    assign_out = _canonical_labels(assign).transform(materialize)
+    assign_out = _canonical_labels(assign.select("id", "community")).transform(
+        materialize
+    )
     for df in owned:
         if df is not assign_out:
             df.unpersist()
@@ -469,8 +421,12 @@ def _split_kernel_factory(resolution2: float, seed: int):
         lsrc = np.searchsorted(ids, src)
         ldst = np.searchsorted(ids, dst)
         indptr, nbr, wgt = kernels.build_csr(len(ids), lsrc, ldst, w)
-        nw_map = dict(zip(src.tolist(), pdf["w_src"].to_numpy(np.float64).tolist()))
-        node_w = np.array([nw_map.get(int(i), 0.0) for i in ids])
+        # node weights: every id appears as src (sym table) — gather its
+        # w_src from the first row of its CSR-sorted slice (vectorized;
+        # ids without src rows keep 0, they have no edges here anyway)
+        node_w = np.zeros(len(ids))
+        uniq_pos, first_idx = np.unique(lsrc, return_index=True)
+        node_w[uniq_pos] = pdf["w_src"].to_numpy(np.float64)[first_idx]
         cluster = np.arange(len(ids), dtype=np.int64)
         rng = np.random.Generator(np.random.PCG64(seed ^ (comm * 2_654_435_761 % (1 << 63))))
         # sequential kernel for small communities (cheap, closest to
@@ -501,7 +457,7 @@ def _split_communities(
     Members without intra-community edges become singletons (exactly
     the sequential semantics: no neighbors in subnetwork → no positive
     gain → stays alone)."""
-    hint = F.broadcast if bcast else (lambda df: df)
+    hint = F.broadcast if bcast else _ident
     a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
     a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
     nw_src = hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src")))
@@ -558,7 +514,7 @@ def slm_scale(
     variant: str = "slm",
     resume: bool = False,
     n_iterations: int = 1,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int = 8_000_000,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
     Returns (assign, q) — q computed on the original graph.
@@ -566,18 +522,27 @@ def slm_scale(
     `n_iterations`: iterated SLM (G14) — each pass restarts the level
     hierarchy from the previous pass's flat assignment (never from
     singletons), monotonically refining Q; stops early when a pass
-    stops improving.
+    stops improving (the best pass's assignment is returned, so the
+    reported q always matches the returned labels).
 
-    With a `checkpointer`, every completed level persists the triple
-    (slm_assign flat labels, slm_supergraph, slm_node_w); passing
+    `n_parts` is accepted for API compatibility but unused: the sweep
+    is a Catalyst aggregation whose parallelism follows
+    spark.sql.shuffle.partitions / AQE, not a manual partition count.
+
+    `broadcast_threshold`: levels whose vertex count fits under it run
+    every vertex-side join map-side (broadcast) — the edge table is
+    scanned without shuffling during sweeps.
+
+    With a `checkpointer`, every completed level persists the snapshot
+    (slm_assign flat labels, slm_supergraph, slm_node_w, and
+    slm_next_assign — the next level's warm-start clustering); passing
     `resume=True` with a checkpointer holding the same run_id restarts
-    the level loop after the last completed level — the
-    "resumable mid-convergence" contract.  Per-level seeds are
-    `seed + level`, so a resumed run replays the remaining levels
-    exactly as the uninterrupted one would."""
+    the level loop after the last completed level from that warm
+    start.  Per-level seeds are `seed + level`, so the remaining
+    levels replay as the uninterrupted run would (modulo sweeps'
+    snapshot timing)."""
     spark = edges.sparkSession
-    if n_parts is None:
-        n_parts = spark.sparkContext.defaultParallelism
+    LAST_RUN_STATS.update(sweeps=0, levels=0, passes=0)
 
     sym0 = symmetrize(edges).persist()
     two_m = total_weight(sym0)
@@ -591,10 +556,12 @@ def slm_scale(
 
     flat = None
     best_q = None
+    best_flat = None
     for it in range(max(1, n_iterations)):
+        LAST_RUN_STATS["passes"] += 1
         flat = _scale_pass(
             sym0, nw0, two_m, resolution2, gamma, quality,
-            seed + 7919 * it, max_levels, max_sweeps, n_parts,
+            seed + 7919 * it, max_levels, max_sweeps,
             exact_threshold, q_guard, variant, checkpointer,
             step_offset=it * max_levels, init_flat=flat,
             resume=(resume and it == 0),
@@ -602,18 +569,23 @@ def slm_scale(
         )
         q = modularity(sym0, flat, gamma=gamma, quality=quality)
         if best_q is not None and q <= best_q + 1e-9:
+            if flat is not best_flat:
+                flat.unpersist()
+            flat = best_flat  # last pass didn't improve: return the best
+            q = best_q
             break
-        best_q = q
+        best_q, best_flat = q, flat
 
     sym0.unpersist()
+    nw0.unpersist()
     return flat.select("id", "community"), best_q if best_q is not None else q
 
 
 def _scale_pass(
     sym0, nw0, two_m, resolution2, gamma, quality, seed, max_levels,
-    max_sweeps, n_parts, exact_threshold, q_guard, variant,
+    max_sweeps, exact_threshold, q_guard, variant,
     checkpointer, step_offset, init_flat, resume,
-    broadcast_threshold=20_000_000,
+    broadcast_threshold=8_000_000,
 ):
     """One full SLM/Louvain hierarchy pass (level loop). Returns the
     flat original-vertex → community assignment."""
@@ -630,12 +602,17 @@ def _scale_pass(
 
     if resume and checkpointer is not None:
         k = checkpointer.latest_step("slm_supergraph")
-        if k is not None:
+        if k is not None and k >= step_offset:
             level_start = k + 1 - step_offset
             sym_l = checkpointer.load_state("slm_supergraph", k).persist()
             node_w_l = checkpointer.load_state("slm_node_w", k)
             flat = checkpointer.load_state("slm_assign", k)
-            assign_l = node_w_l.select("id", F.col("id").alias("community"))
+            warm = checkpointer.load_state("slm_next_assign", k)
+            assign_l = (
+                warm
+                if warm is not None
+                else node_w_l.select("id", F.col("id").alias("community"))
+            )
 
     for level in range(level_start, max_levels):
         m_l = sym_l.count()
@@ -649,17 +626,19 @@ def _scale_pass(
             flat = assign_l if flat is None else _merge_down(flat, assign_l)
             break
 
-        lm_parts = max(1, min(n_parts, m_l // 50_000))
+        nv = node_w_l.count()
+        bcast = nv <= broadcast_threshold
+        LAST_RUN_STATS["levels"] += 1
         assign_l = _distributed_local_moving(
             sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
-            lm_parts, gamma, quality, q_guard, two_m,
-            checkpointer=checkpointer, level=level,
+            gamma, quality, q_guard, two_m,
+            checkpointer=checkpointer, level=level, bcast=bcast,
         )
-        _dbg(f"level {level}: LM done, splitting")
+        _dbg(f"level {level}: LM done (bcast={bcast}), splitting")
         parent_map = None
         if variant == "slm":
             assign_l, parent_map = _split_communities(
-                sym_l, node_w_l, assign_l, resolution2, seed + level
+                sym_l, node_w_l, assign_l, resolution2, seed + level, bcast=bcast
             )
             assign_l = assign_l.transform(materialize)
 
@@ -698,11 +677,15 @@ def _scale_pass(
             assign_l = node_w_l.select("id", F.col("id").alias("community"))
         if checkpointer is not None:
             # complete level snapshot: (flat labels, supergraph, node
-            # weights) — everything `resume` needs to restart here
+            # weights, next level's warm-start clustering) — everything
+            # `resume` needs to restart here
             step = step_offset + level
+            old_flat = flat
             flat = checkpointer.save_state("slm_assign", step, flat)
+            old_flat.unpersist()
             checkpointer.save_state("slm_node_w", step, node_w_l)
             checkpointer.save_state("slm_supergraph", step, sym_l)
+            checkpointer.save_state("slm_next_assign", step, assign_l)
             checkpointer.log_metric(
                 op="slm", level=level, step=step, edges=m_l, communities=n_comms
             )
@@ -780,7 +763,11 @@ def slm(
     """Community detection entry point. Returns (assign_df, q).
 
     mode: "exact" | "scale" | "auto" (exact when the graph is under
-    `exact_threshold` directed-pair entries)."""
+    `exact_threshold` directed-pair entries).
+
+    `n_iterations` applies to both modes; `n_random_starts` is
+    exact-only (scale mode's level-0 sweep is deterministic given the
+    seed, so restarts would duplicate work — use different seeds)."""
     if mode == "auto":
         m = edges.count()
         mode = "exact" if 2 * m <= exact_threshold else "scale"
@@ -802,5 +789,6 @@ def slm(
         exact_threshold=exact_threshold,
         checkpointer=checkpointer,
         variant=variant,
+        n_iterations=n_iterations,
         **scale_kw,
     )

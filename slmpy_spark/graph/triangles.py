@@ -38,18 +38,28 @@ def _oriented(edges: DataFrame) -> DataFrame:
         (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
     )
     # sym contains both directions, so keeping only rows where src ≺ dst
-    # yields each undirected edge exactly once, oriented.
-    return e.where(lower).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # yields each undirected edge exactly once, oriented.  vdeg (the
+    # upper endpoint's degree) rides along so wedge generation can
+    # order the two upper endpoints without re-joining the degree table.
+    return e.where(lower).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg")
+    )
 
 
 def triangles(edges: DataFrame) -> DataFrame:
     """All triangles as (a, b, c) with a ≺ b ≺ c in degree-id order."""
     o = _oriented(edges).persist()
-    w1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    w2 = o.select(F.col("u").alias("a2"), F.col("v").alias("c"))
-    wedges = w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c"))).select(
-        "a", "b", "c"
+    w1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("vdeg").alias("bdeg"))
+    w2 = o.select(F.col("u").alias("a2"), F.col("v").alias("c"), F.col("vdeg").alias("cdeg"))
+    # each unordered wedge {b, c} over middle vertex a is generated
+    # exactly ONCE, with b ≺ c in the same (degree, id) total order as
+    # the edge orientation — the closing semi-join key then matches
+    # directly and the wedge intermediate (the largest frame of the
+    # whole plan) is half the size of the naive b != c generation.
+    b_lt_c = (F.col("bdeg") < F.col("cdeg")) | (
+        (F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c"))
     )
+    wedges = w1.join(w2, (F.col("a") == F.col("a2")) & b_lt_c).select("a", "b", "c")
     closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tris = wedges.join(closing, ["b", "c"], "left_semi").select("a", "b", "c")
     return tris

@@ -8,9 +8,10 @@ Scale shapes (the 100 TB story):
   via per-bucket self-join; verification (true Jaccard) runs only on
   candidates.  Banding keeps the self-join per-bucket tiny; a global
   all-pairs join never happens.
-- SimHash: 64-bit signature per doc via vectorized numpy kernel
-  (mapInPandas, Arrow-batched); near-dups = signatures at small
-  Hamming distance, bucketed by 16-bit blocks (Charikar / Manku et al.
+- SimHash: 64-bit signature per doc computed entirely JVM-side
+  (xxhash64 per token + 64 bit-plane majority sums, map-side partial
+  combine — zero Python); near-dups = signatures at small Hamming
+  distance, bucketed by 16-bit blocks (Charikar / Manku et al.
   WWW'07 scheme).
 - exact Jaccard (`ngram_jaccard_pairs`): token-set self-join — the
   verify stage; also the small-scale oracle for LSH recall.
@@ -18,10 +19,6 @@ Scale shapes (the 100 TB story):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,36 +169,43 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ simhash
 
 
-def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
-    for pdf in batches:
-        out_id, out_sig = [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = [t for t in (text or "").split(" ") if t]
-            if not toks:
-                out_id.append(doc_id)
-                out_sig.append(0)
-                continue
-            # deterministic 64-bit token hash (FNV-1a), vectorized bits
-            hs = np.zeros(len(toks), dtype=np.uint64)
-            for i, t in enumerate(toks):
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in t.encode("utf-8"):
-                    h = ((h ^ np.uint64(ch)) * np.uint64(0x100000001B3)) & mask
-                hs[i] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out_id.append(doc_id)
-            out_sig.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        yield pd.DataFrame({"doc_id": out_id, "simhash": out_sig})
-
-
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): 64-bit Charikar simhash over whitespace
-    tokens (FNV-1a token hash, majority vote per bit)."""
-    return docs.select("doc_id", "text").mapInPandas(
-        _simhash_batches, "doc_id long, simhash long"
+    tokens (multiset semantics — repeated tokens vote repeatedly).
+
+    Fully JVM-side: explode tokens, xxhash64 each token, then 64
+    bit-plane majority votes as ordinary sum aggregations (map-side
+    partial combine — a 10^6-token doc contributes 64 partial counters
+    per input partition, never a per-row Python call).  Bit b of the
+    signature is 1 iff more than half the token hashes have bit b set;
+    the signature is assembled with shiftleft/bitwiseOR (bit 63 via
+    shiftleft stays a bitwise op — no ANSI overflow).  Token-less docs
+    get signature 0."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    th = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+    # arithmetic shiftright sign-fills only ABOVE bit 0 — (x >> b) & 1
+    # still extracts bit b exactly for every b in [0, 63]
+    ones = [
+        F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+        for b in range(64)
+    ]
+    agg = th.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"o{b}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    with_sig = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(with_sig, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
     )
 
 

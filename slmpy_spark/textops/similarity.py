@@ -116,31 +116,83 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
-def ann_topk(emb: DataFrame, k: int = 10, n_planes: int = 8,
-             n_queries: int = 5) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates restricted to the
-    query's bucket, then exact cosine rank within. Same output shape
-    as cosine_topk (rank may hold fewer than k rows per query)."""
-    b = lsh_buckets(emb, n_planes)
-    e = emb.join(b, "vec_id")
-    q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "bucket",
-    )
-    c = e.select("vec_id", F.col("embedding").alias("ce"), "bucket")
-    scored = (
-        q.join(c, ["bucket"])
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                _dot(F.col("qe"), F.col("ce"))
-                / (_norm(F.col("qe")) * _norm(F.col("ce"))),
-                6,
-            ).alias("cos"),
+def lsh_bucket_tables(
+    emb: DataFrame, n_tables: int, n_planes: int
+) -> DataFrame:
+    """(vec_id, table, bucket): `n_tables` independent hyperplane LSH
+    tables of `n_planes` sign bits each — banded LSH, exactly the
+    minhash banding shape.  Table t uses the deterministic plane family
+    at global indices [t·n_planes, (t+1)·n_planes) of the same integer
+    construction as lsh_buckets, so everything stays engine-reproducible.
+    """
+    def plane_bit(gp: int, p: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, d: x.cast("double")
+                * ((F.lit(gp * 131) + d * 197) % 7 - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        return F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    tables = []
+    for t in range(n_tables):
+        bucket = plane_bit(t * n_planes, 0)
+        for p in range(1, n_planes):
+            bucket = bucket + plane_bit(t * n_planes + p, p)
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket")))
+    return emb.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+
+def ann_topk(emb: DataFrame, k: int = 10, n_planes: int | None = None,
+             n_queries: int = 5, n_tables: int = 8,
+             target_bucket: int = 256) -> DataFrame:
+    """Banded multi-table hyperplane-LSH approximate top-k: a corpus
+    vector is a candidate for a query iff they share the bucket of ANY
+    of the `n_tables` independent tables; exact cosine ranks the
+    candidate set.  Same output shape as cosine_topk (rank may hold
+    fewer than k rows per query).
+
+    `n_planes` (bits per table) defaults to log2(N / target_bucket),
+    so the expected bucket size stays ~`target_bucket` at ANY corpus
+    scale — at 10^12 docs that is ~32 planes, not a near-cross-join;
+    recall is bought with `n_tables` (union of probes), the standard
+    banding trade (Indyk–Motwani / Manku et al.).  Candidate
+    generation is per-(table, bucket) equi-joins — never all-pairs;
+    the union dedups on (query_id, vec_id) before the exact rank."""
+    if n_planes is None:
+        n = emb.count()  # one cheap job; callers may pin n_planes instead
+        n_planes = max(2, min(30, int(n / max(1, target_bucket)).bit_length()))
+    b = lsh_bucket_tables(emb, n_tables, n_planes)
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .join(b, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "table",
+            "bucket",
+        )
+    )
+    c = b.select("vec_id", "table", "bucket")
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qe", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.join(emb.select("vec_id", F.col("embedding").alias("ce")), "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -124,15 +124,37 @@ def test_cosine_topk_matches_numpy(spark):
         assert [t[0] for t in got] == order
 
 
-def test_ann_topk_subset_of_bucket(spark):
+def test_ann_topk_candidates_share_a_bucket(spark):
+    """Every ANN result must collide with the query in ≥1 LSH table."""
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(40, 8)).astype(np.float32)
     e = emb_df(spark, vecs)
-    ann = similarity.ann_topk(e, k=5, n_planes=4, n_queries=2).collect()
+    ann = similarity.ann_topk(e, k=5, n_planes=4, n_queries=2, n_tables=3).collect()
     assert len(ann) > 0
-    buckets = {r.vec_id: r.bucket for r in similarity.lsh_buckets(e, 4).collect()}
+    tb = {}
+    for r in similarity.lsh_bucket_tables(e, n_tables=3, n_planes=4).collect():
+        tb.setdefault(r.vec_id, set()).add((r.table, r.bucket))
     for r in ann:
-        assert buckets[r.query_id] == buckets[r.vec_id]
+        assert tb[r.query_id] & tb[r.vec_id]
+
+
+def test_ann_topk_recall_vs_brute_force(spark):
+    """Recall@10 of the banded multi-table ANN vs exact cosine_topk
+    must be ≥ 0.8 on a realistic random corpus (VERDICT r1 gate)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    e = emb_df(spark, vecs).persist()
+    exact = similarity.cosine_topk(e, k=10, n_queries=5).collect()
+    ann = similarity.ann_topk(e, k=10, n_queries=5).collect()
+    hits = total = 0
+    for q in range(5):
+        truth = {r.vec_id for r in exact if r.query_id == q}
+        got = {r.vec_id for r in ann if r.query_id == q}
+        hits += len(truth & got)
+        total += len(truth)
+    assert total == 50
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    e.unpersist()
 
 
 def test_media_features_plumbing(spark):
