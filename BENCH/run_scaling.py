@@ -71,17 +71,23 @@ engine.degrees(engine.symmetrize(edges)).count()
 
 t0 = time.time()
 if op == "slm":
-    sweeps = 4
-    assign, q = engine.slm(edges, seed=42, mode="scale", max_sweeps=sweeps,
-                           exact_threshold=2_000, n_parts=max(cpus, 8))
+    from slmpy_spark.graph.slm import LAST_RUN_STATS
+    # generous sweep budget — the per-level q_tol stopping rule exits
+    # early once a level's Q gain flattens, so levels converge properly
+    # and the hierarchy collapses in few levels
+    assign, q = engine.slm(edges, seed=42, mode="scale", max_sweeps=16,
+                           exact_threshold=200_000)
     dt = time.time() - t0
     out = {"op": op, "cpus": cpus, "edges": m, "secs": dt, "q": q,
-           "throughput": 2 * m * sweeps / dt}
+           "sweeps": LAST_RUN_STATS["sweeps"],
+           "work": LAST_RUN_STATS["edge_entries_swept"],
+           "throughput": LAST_RUN_STATS["edge_entries_swept"] / dt}
 elif op == "pagerank":
     iters = 8
     engine.pagerank(edges, tol=0.0, max_iter=iters).count()
     dt = time.time() - t0
     out = {"op": op, "cpus": cpus, "edges": m, "secs": dt,
+           "work": m * iters,
            "throughput": m * iters / dt}
 print("RESULT " + json.dumps(out))
 spark.stop()
@@ -122,8 +128,11 @@ def main():
                     raw.flush()
                     secs.append(rec["secs"])
                 med = statistics.median(secs)
+                # throughput from the worker-reported work counter
+                # (actual edge-entries processed), not a re-derived
+                # constant-factor guess
                 results[(op, cpus)] = {**rec, "secs": med,
-                                       "throughput": rec["edges"] * (8 if op == "pagerank" else 8) / med}
+                                       "throughput": rec["work"] / med}
                 print(f"{op} local[{cpus}]: median {med:.1f}s", flush=True)
 
     lines = [

@@ -26,7 +26,7 @@ from slmpy_spark.graph.labelprop import lpa_round
 from slmpy_spark.graph.modularity import community_aggregates
 from slmpy_spark.graph.triangles import triangles
 from slmpy_spark.sources.docs import documents_to_edges
-from slmpy_spark.textops import analysis, dedup, similarity
+from slmpy_spark.textops import analysis, dedup, multimodal, similarity
 
 # ---------------------------------------------------------------------
 # shared SQL prelude: the deterministic documents→edges rule + the
@@ -159,6 +159,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda spark, sf: similarity.ann_topk(
             _emb(spark, sf), k=10, n_planes=8, n_queries=5
         ),
+        "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
+            _docs(spark, sf), k=16
+        ),
+        "simhash_candidates": lambda spark, sf: dedup.simhash_candidates(
+            _docs(spark, sf), max_hamming=3
+        ),
+        "media_features": lambda spark, sf: multimodal.media_features(
+            multimodal.docs_to_media(_docs(spark, sf))
+        ),
+        # flagship distributed path at driver scale (exact_threshold low
+        # enough that level 0 runs the JVM-side sweep, not the exact kernel)
+        "slm_scale": lambda spark, sf: engine.slm(
+            _edges(spark, sf), seed=42, mode="scale", max_sweeps=4,
+            exact_threshold=2_000,
+        )[0],
     }
 
 

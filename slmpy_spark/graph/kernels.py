@@ -289,8 +289,19 @@ def _reduced_network(indptr, nbr, wgt, node_w, cluster, n_clusters):
 # ------------------------------------------------------------- SLM
 
 
+def _lm_auto(indptr, nbr, wgt, node_w, cluster, resolution2, rng) -> bool:
+    """Sequential LM for small graphs (reference-faithful), chunked
+    vectorized LM for big ones (the per-node Python visit loop is
+    ~10³ nodes/s — minutes at 10⁵ nodes; the vectorized kernel is the
+    same Q-class at ~10⁶ node-visits/s).  Used by scale-mode callers
+    (exact label parity keeps the sequential kernel via run_slm)."""
+    if indptr.size - 1 <= 4096:
+        return local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+    return local_moving_chunked(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+
+
 def slm_recursive(
-    indptr, nbr, wgt, node_w, cluster, resolution2, rng
+    indptr, nbr, wgt, node_w, cluster, resolution2, rng, fast: bool = False
 ) -> bool:
     """One SLM pass (recursive over aggregation levels), §1.2(4).
 
@@ -300,11 +311,14 @@ def slm_recursive(
        their step-a parent community;
     d. recurse; merge labels down.
     Mutates `cluster`; returns True iff anything changed.
+    `fast=True` swaps the vectorized LM in above 4096 nodes (Q-class
+    parity, used by the scale-mode exact finish).
     """
     n = indptr.size - 1
     if n == 1:
         return False
-    update = local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+    lm = _lm_auto if fast else local_moving
+    update = lm(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
     n_clusters = int(cluster.max()) + 1 if n else 0
     if n_clusters >= n:
         return update
@@ -325,7 +339,7 @@ def slm_recursive(
         w = ew[estarts[c] : estarts[c + 1]]
         sub_indptr, sub_nbr, sub_wgt = build_csr(k, s, d, w)
         sub_cluster = np.arange(k, dtype=np.int64)  # from singletons
-        local_moving(
+        lm(
             sub_indptr, sub_nbr, sub_wgt, node_w[members], sub_cluster, resolution2, rng
         )
         kc = int(sub_cluster.max()) + 1 if k else 0
@@ -339,7 +353,7 @@ def slm_recursive(
     # initial clustering of the reduced network: subcommunity → parent
     r_cluster = np.repeat(np.arange(n_clusters, dtype=np.int64), n_sub)
     update |= slm_recursive(
-        r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng
+        r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng, fast=fast
     )
     cluster[:] = r_cluster[cluster]  # merge down (G9)
     compactify(cluster)
@@ -347,7 +361,8 @@ def slm_recursive(
 
 
 def louvain_recursive(
-    indptr, nbr, wgt, node_w, cluster, resolution2, rng, refine: bool = False
+    indptr, nbr, wgt, node_w, cluster, resolution2, rng, refine: bool = False,
+    fast: bool = False,
 ) -> bool:
     """Classic Louvain (§1.2(2)) / with multilevel refinement (§1.2(3)):
     LM → aggregate → recurse from singletons → merge down
@@ -355,7 +370,8 @@ def louvain_recursive(
     n = indptr.size - 1
     if n == 1:
         return False
-    update = local_moving(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
+    lm = _lm_auto if fast else local_moving
+    update = lm(indptr, nbr, wgt, node_w, cluster, resolution2, rng)
     n_clusters = int(cluster.max()) + 1 if n else 0
     if n_clusters < n:
         r_indptr, r_nbr, r_wgt, r_node_w, _ = _reduced_network(
@@ -363,13 +379,14 @@ def louvain_recursive(
         )
         r_cluster = np.arange(n_clusters, dtype=np.int64)
         sub_update = louvain_recursive(
-            r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng, refine
+            r_indptr, r_nbr, r_wgt, r_node_w, r_cluster, resolution2, rng, refine,
+            fast=fast,
         )
         if sub_update:
             update = True
             cluster[:] = r_cluster[cluster]
             if refine:
-                update |= local_moving(
+                update |= lm(
                     indptr, nbr, wgt, node_w, cluster, resolution2, rng
                 )
         compactify(cluster)

@@ -73,7 +73,7 @@ import time as _time
 #: (single-threaded driver assumption): actual sweep/level/pass counts,
 #: consumed by bench.py / BENCH/run_scaling.py to compute real
 #: edges-per-sweep throughput instead of assuming max_sweeps ran.
-LAST_RUN_STATS: dict = {"sweeps": 0, "levels": 0, "passes": 0}
+LAST_RUN_STATS: dict = {"sweeps": 0, "levels": 0, "passes": 0, "edge_entries_swept": 0}
 
 
 def _dbg(msg: str) -> None:
@@ -152,8 +152,7 @@ def slm_exact(
 
 def _propose_moves(
     sym: DataFrame,
-    node_w: DataFrame,
-    assign: DataFrame,
+    state: DataFrame,
     resolution2: float,
     seed: int,
     sweep: int,
@@ -161,6 +160,10 @@ def _propose_moves(
     bcast: bool,
 ) -> DataFrame:
     """One synchronous local-moving sweep, entirely JVM-side.
+
+    `state`: (id, community, node_w) — the current assignment with node
+    weights riding along (so no per-sweep re-join against the degree
+    table).
 
     Semantics (mirrors kernels.local_moving against a snapshot):
     for every eligible vertex i with candidates C = {communities of
@@ -176,11 +179,14 @@ def _propose_moves(
 
     `move_frac` < 1 gates eligibility by a deterministic per-(id,
     sweep) hash — the damping knob for synchronous-update oscillation.
-    The eligibility filter is pushed onto the edge scan, so a damped
-    sweep also aggregates proportionally fewer rows.
 
-    Returns (id, community, moved) for EVERY vertex in `assign`
-    (ineligible / isolated vertices keep their label, moved = 0).
+    Returns (id, community, node_w, c_old, kic_cur, moved) for EVERY
+    vertex (ineligible / isolated vertices keep their label).  The
+    extra columns make the *pre-sweep* quality free to compute:
+    Σ_i kic_cur(i) is exactly the intra-community weight of the input
+    assignment, and groupBy(c_old) Σ node_w gives its Σtot — so the
+    caller's Q guard needs only ONE tiny vertex-sided aggregation over
+    this frame, no second edge scan (see _state_stats).
 
     Scale notes: the k_{i,c} aggregation is a hash groupBy(src, cand)
     with map-side partial combine — hub-degree skew never concentrates
@@ -192,22 +198,11 @@ def _propose_moves(
     """
     hint = F.broadcast if bcast else _ident
 
-    sigma = (
-        assign.join(node_w, "id")
-        .groupBy("community")
-        .agg(F.sum("node_w").alias("sigma"))
-    )
-
-    active = sym
-    if move_frac < 1.0:
-        # deterministic eligibility hash in [0, 2^20); pushed below the
-        # aggregation so damped sweeps scan/aggregate less
-        h = F.pmod(F.xxhash64(F.col("src"), F.lit(seed * 97 + sweep)), F.lit(1 << 20))
-        active = sym.where(h < F.lit(int(move_frac * (1 << 20))))
+    sigma = state.groupBy("community").agg(F.sum("node_w").alias("sigma"))
 
     kic = (
-        active.join(
-            hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("cand"))),
+        sym.join(
+            hint(state.select(F.col("id").alias("dst"), F.col("community").alias("cand"))),
             "dst",
         )
         .groupBy("src", "cand")
@@ -215,11 +210,13 @@ def _propose_moves(
     )
     cand = (
         kic.join(
-            hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src"))),
-            "src",
-        )
-        .join(
-            hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src"))),
+            hint(
+                state.select(
+                    F.col("id").alias("src"),
+                    F.col("community").alias("c_src"),
+                    F.col("node_w").alias("w_src"),
+                )
+            ),
             "src",
         )
         .join(
@@ -243,26 +240,40 @@ def _propose_moves(
         )
     )
     # argmax gain per src; tie-break lowest community label via
-    # max(struct(gain, -cand)); c_src/w_src/sigma_src are constant per src
+    # max(struct(gain, -cand)); c_src/w_src/sigma_src are constant per
+    # src; kic_cur = weight into the CURRENT community (≤1 row matches)
     best = cand.groupBy("src").agg(
         F.max(F.struct(F.col("gain").alias("g"), (-F.col("cand")).alias("nc"))).alias("b"),
+        F.max(F.when(F.col("cand") == F.col("c_src"), F.col("kic"))).alias("kic_cur"),
         F.first("c_src").alias("c_src"),
         F.first("w_src").alias("w_src"),
         F.first("sigma_src").alias("sigma_src"),
     )
+    if move_frac < 1.0:
+        # deterministic per-(id, sweep) eligibility hash in [0, 2^20)
+        elig = F.pmod(
+            F.xxhash64(F.col("src"), F.lit(seed * 97 + sweep)), F.lit(1 << 20)
+        ) < F.lit(int(move_frac * (1 << 20)))
+    else:
+        elig = F.lit(True)
     moves = best.select(
         F.col("src").alias("id"),
-        F.when(F.col("b.g") > F.lit(0.0), -F.col("b.nc"))
+        F.when(~elig, F.col("c_src"))
+        .when(F.col("b.g") > F.lit(0.0), -F.col("b.nc"))
         .when(F.col("sigma_src") > F.col("w_src"), -(F.col("src") + F.lit(1)))
         .otherwise(F.col("c_src"))
         .alias("community"),
+        F.coalesce(F.col("kic_cur"), F.lit(0.0)).alias("kic_cur"),
     )
-    new_assign = (
-        assign.alias("o")
+    return (
+        state.alias("o")
         .join(hint(moves).alias("m"), "id", "left")
         .select(
             "id",
             F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
+            F.col("o.node_w").alias("node_w"),
+            F.col("o.community").alias("c_old"),
+            F.coalesce(F.col("m.kic_cur"), F.lit(0.0)).alias("kic_cur"),
             F.when(
                 F.coalesce(F.col("m.community"), F.col("o.community"))
                 != F.col("o.community"),
@@ -272,30 +283,51 @@ def _propose_moves(
             .alias("moved"),
         )
     )
-    return new_assign
 
 
-def _sweep_stats(
+def _state_stats(prop: DataFrame, two_m: float, gamma: float, quality: str):
+    """(q_of_pre_sweep_assignment, n_moves) from a materialized
+    _propose_moves frame — ONE vertex-sized aggregation, no edge scan:
+    intra = Σ kic_cur, Σtot per community = groupBy(c_old) Σ node_w."""
+    r = (
+        prop.groupBy("c_old")
+        .agg(
+            F.sum("node_w").alias("sigma"),
+            F.sum("kic_cur").alias("ki"),
+            F.sum("moved").alias("mv"),
+        )
+        .agg(
+            F.sum(F.col("sigma") * F.col("sigma")).alias("s2"),
+            F.sum("ki").alias("intra"),
+            F.sum("mv").alias("moves"),
+        )
+        .first()
+    )
+    intra, s2 = float(r["intra"] or 0.0), float(r["s2"] or 0.0)
+    n_moves = int(r["moves"] or 0)
+    if two_m == 0:
+        return 0.0, n_moves
+    if quality == "cpm":
+        q = (intra - gamma * s2) / two_m
+    else:
+        q = intra / two_m - gamma * s2 / (two_m * two_m)
+    return q, n_moves
+
+
+def _assign_quality(
     sym: DataFrame,
-    node_w: DataFrame,
-    new_assign: DataFrame,
+    state: DataFrame,
     two_m: float,
     gamma: float,
     quality: str,
     bcast: bool = False,
-):
-    """(q, n_moves) of `new_assign` (carrying a `moved` flag column) in
-    exactly two Spark jobs: one edge-side agg (intra weight, map-side
-    joins under `bcast`), one vertex-side agg (Σ σ_tot² fused with the
-    move count — no old-assignment join needed, the sweep emitted the
-    flag)."""
+) -> float:
+    """Exact Q of a (id, community, node_w) state — one edge-side agg
+    plus one vertex agg.  Used once per level at most (final-proposal
+    evaluation); sweeps get their Q from _state_stats for free."""
     hint = F.broadcast if bcast else _ident
-    a_src = hint(
-        new_assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
-    )
-    a_dst = hint(
-        new_assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
-    )
+    a_src = hint(state.select(F.col("id").alias("src"), F.col("community").alias("cs")))
+    a_dst = hint(state.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
     intra_row = (
         sym.join(a_src, "src")
         .join(a_dst, "dst")
@@ -307,23 +339,17 @@ def _sweep_stats(
     )
     intra = float(intra_row["intra"] or 0.0)
     v = (
-        new_assign.join(node_w, "id")
-        .groupBy("community")
-        .agg(F.sum("node_w").alias("sigma"), F.sum("moved").alias("mv"))
-        .agg(
-            F.sum(F.col("sigma") * F.col("sigma")).alias("s2"),
-            F.sum("mv").alias("moves"),
-        )
+        state.groupBy("community")
+        .agg(F.sum("node_w").alias("sigma"))
+        .agg(F.sum(F.col("sigma") * F.col("sigma")).alias("s2"))
         .first()
     )
-    s2, n_moves = float(v["s2"] or 0.0), int(v["moves"] or 0)
+    s2 = float(v["s2"] or 0.0)
     if two_m == 0:
-        return 0.0, n_moves
+        return 0.0
     if quality == "cpm":
-        q = (intra - gamma * s2) / two_m
-    else:
-        q = intra / two_m - gamma * s2 / (two_m * two_m)
-    return q, n_moves
+        return (intra - gamma * s2) / two_m
+    return intra / two_m - gamma * s2 / (two_m * two_m)
 
 
 def _distributed_local_moving(
@@ -340,67 +366,136 @@ def _distributed_local_moving(
     checkpointer=None,
     level: int = 0,
     bcast: bool = False,
+    m_l: int = 0,
+    init_frac: float = 0.5,
+    q_tol: float = 1e-4,
 ) -> DataFrame:
-    """Superstep local moving with adaptive damping.
+    """Superstep local moving with adaptive damping and a *deferred*
+    monotone-Q guard.
 
-    Each sweep proposes moves against a Σtot snapshot; the sweep is
-    *accepted* only if Q improves (q_guard).  On rejection the mover
-    fraction is halved and the sweep retried from the best assignment —
-    this converges because damping shrinks the simultaneous-move set
-    toward the sequential regime; on acceptance the fraction relaxes
-    back up.  Stops at n_moves == 0, `max_sweeps`, or `patience`
-    consecutive rejections.
+    `init_frac`: the first sweep's mover fraction.  A full (1.0)
+    synchronous sweep from a fresh state always overshoots (every
+    boundary vertex jumps simultaneously — measured: the full-frac
+    opening sweep was rejected at EVERY level of the 10M-edge ladder),
+    so starting at 0.5 saves two wasted edge scans per level; the
+    fraction relaxes to 1.0 as sweeps are accepted.
 
-    Per-sweep cost: 3 Spark jobs — the sweep itself (one edge scan into
-    a (src, cand) partial-agg + argmax, checkpointed), the edge-side
-    intra-weight agg, and a tiny vertex-side agg (σ² fused with the
-    move count)."""
-    assign = assign.select("id", "community").transform(materialize)
-    best_q, _ = _sweep_stats(
-        sym, node_w, assign.withColumn("moved", F.lit(0)), two_m, gamma, quality,
-        bcast=bcast,
+    `q_tol`: convergence tolerance — stop sweeping when an accepted
+    sweep improved Q by less than this (the level's remaining gain
+    belongs to cheaper, smaller levels above).  Generous `max_sweeps`
+    budgets are safe with it.
+
+    Sweep t's decision job also yields (for free, see _propose_moves)
+    the exact Q of the assignment it was proposed FROM.  So the guard
+    runs one sweep late: when sweep t reveals that state S_t does not
+    beat the best Q seen, S_t's proposal is discarded, the loop reverts
+    to the best state and retries with a halved mover fraction; when it
+    does beat it, S_t becomes the best and the (already computed)
+    proposal is adopted.  The final adopted proposal — whose Q no sweep
+    has revealed — gets one explicit _assign_quality evaluation per
+    level.  Convergence: damping shrinks the simultaneous-move set
+    toward the sequential regime; stops at n_moves == 0, `max_sweeps`,
+    or `patience` consecutive rejections.
+
+    Per-sweep cost: 2 Spark jobs — the decision job (ONE edge scan into
+    the (src, cand) partial-agg + argmax, checkpointed) and one
+    vertex-sized stats aggregation.  Rejection wastes exactly one
+    speculative decision job (same cost as the old retry)."""
+    if not bcast:
+        # huge-vertex-table path: pre-hash-partition the edge table by
+        # dst ONCE per level and persist — every sweep's first join
+        # (dst → candidate community) then reuses the cached layout and
+        # only the vertex-sized state shuffles per sweep (the same
+        # iterative-join trick as pagerank's contrib_edges)
+        sym = sym.repartition("dst").persist()
+        sym.count()
+        owned_sym = sym
+    else:
+        owned_sym = None
+    state = (
+        assign.select("id", "community")
+        .join(node_w, "id")
+        .select("id", "community", "node_w")
+        .transform(materialize)
     )
-    move_frac = 1.0
+    best_state = state
+    best_q = None
+    move_frac = init_frac
     patience = 4
     stall = 0
-    owned = [assign]  # checkpoints created here, for unpersist hygiene
+    owned = [state]  # checkpoints created here, for unpersist hygiene
+    pending = False  # does `state` hold an adopted-but-unevaluated proposal?
 
     for sweep in range(max_sweeps):
-        new_assign = _propose_moves(
-            sym, node_w, assign, resolution2, seed, sweep, move_frac, bcast
+        t0 = _time.time()
+        prop = _propose_moves(
+            sym, state, resolution2, seed, sweep, move_frac, bcast
         ).transform(materialize)
+        t1 = _time.time()
         LAST_RUN_STATS["sweeps"] += 1
-        q, n_moves = _sweep_stats(
-            sym, node_w, new_assign, two_m, gamma, quality, bcast=bcast
+        LAST_RUN_STATS["edge_entries_swept"] += m_l
+        q_prev, n_moves = _state_stats(prop, two_m, gamma, quality)
+        _dbg(
+            f"level {level} sweep {sweep} frac={move_frac} "
+            f"q(pre)={q_prev:.6f} moves={n_moves} "
+            f"propose={t1 - t0:.1f}s stats={_time.time() - t1:.1f}s"
         )
-        _dbg(f"level {level} sweep {sweep} frac={move_frac} q={q:.6f} moves={n_moves}")
         if checkpointer is not None:
             checkpointer.log_metric(
-                op="slm_sweep", level=level, sweep=sweep, q=q,
+                op="slm_sweep", level=level, sweep=sweep, q=q_prev,
                 n_moves=n_moves, move_frac=move_frac,
             )
-        if n_moves == 0:
-            new_assign.unpersist()
-            break
-        if q_guard:
-            if q <= best_q + 1e-12:
+        if best_q is None:
+            best_q = q_prev  # q of the initial assignment
+        elif state is not best_state:
+            if q_guard and q_prev <= best_q + 1e-12:
+                # the state sweep t built on was NOT an improvement:
+                # discard its speculative proposal, damp, retry from best
                 stall += 1
-                move_frac = max(0.125, move_frac / 2)  # damp; retry from best
-                new_assign.unpersist()
+                move_frac = max(0.125, move_frac / 2)
+                prop.unpersist()
+                state = best_state
+                pending = False
                 if stall >= patience:
                     break
                 continue
-            best_q = q
+            gained = q_prev - best_q
+            best_q = q_prev
+            best_state = state
             stall = 0
             move_frac = min(1.0, move_frac * 1.5)
-        assign = new_assign
-        owned.append(assign)
-    assign_out = _canonical_labels(assign.select("id", "community")).transform(
+            if q_guard and gained < q_tol:
+                # converged to tolerance: the pending proposal can only
+                # chase diminishing returns — stop here, keep the best
+                prop.unpersist()
+                pending = False
+                break
+        if n_moves == 0:
+            prop.unpersist()
+            pending = False
+            break
+        state = prop
+        pending = True
+        owned.append(prop)
+
+    if pending and q_guard:
+        # last adopted proposal was never revealed by a later sweep —
+        # evaluate it once; keep it only if it beats the best
+        q_final = _assign_quality(sym, state, two_m, gamma, quality, bcast=bcast)
+        _dbg(f"level {level} final-eval q={q_final:.6f} (best {best_q:.6f})")
+        if best_q is None or q_final > best_q + 1e-12:
+            best_state = state
+    elif pending:
+        best_state = state
+
+    assign_out = _canonical_labels(best_state.select("id", "community")).transform(
         materialize
     )
     for df in owned:
         if df is not assign_out:
             df.unpersist()
+    if owned_sym is not None:
+        owned_sym.unpersist()
     return assign_out
 
 
@@ -451,12 +546,32 @@ def _split_communities(
     resolution2: float,
     seed: int,
     bcast: bool = False,
+    gamma: float = 1.0,
+    quality: str = "modularity",
+    two_m: float = 0.0,
+    max_sweeps: int = 8,
+    giant_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Re-cluster every community from singletons (may split it).
     New community labels = min member vertex id per subcommunity.
     Members without intra-community edges become singletons (exactly
     the sequential semantics: no neighbors in subnetwork → no positive
-    gain → stays alone)."""
+    gain → stays alone).
+
+    Two physical strategies on the intra-community edge table:
+
+    - **per-community Arrow kernel** (default): communities are
+      embarrassingly parallel ``applyInPandas`` groups, each running
+      vectorized LM to local convergence — ideal when communities are
+      many and bounded.
+    - **distributed split**: when the LARGEST community holds more
+      intra-edge rows than `giant_threshold`, a single kernel task
+      would become the stage's straggler (a power-law giant component
+      can hold most of the graph).  Splitting is just LM-from-
+      singletons on the intra-edge graph — intra edges never cross
+      parents, so the same JVM-side sweep engine re-clusters EVERY
+      community at once, fully distributed, with identical semantics.
+    """
     hint = F.broadcast if bcast else _ident
     a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
     a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
@@ -467,26 +582,43 @@ def _split_communities(
         .where(F.col("c_src") == F.col("c_dst"))
         .join(nw_src, "src")
         .select("src", "dst", "weight", "w_src", F.col("c_src").alias("community"))
+        .persist()
     )
-    sub = intra.groupBy("community").applyInPandas(
-        _split_kernel_factory(resolution2, seed), "id long, sub long"
-    )
-    # globally-unique subcommunity label = min member id (no driver coordination)
-    sub_assign = sub.join(
-        assign.select("id", F.col("community").alias("parent")), "id"
-    )
-    label = (
-        sub_assign.groupBy("parent", "sub").agg(F.min("id").alias("new_c"))
-    )
-    relabeled = sub_assign.join(label, ["parent", "sub"]).select(
-        "id", F.col("new_c").alias("community")
-    )
-    # nodes that had no intra edges → singleton of their own id
-    out = (
-        assign.alias("o")
-        .join(relabeled.alias("r"), "id", "left")
-        .select("id", F.coalesce(F.col("r.community"), F.col("id")).alias("community"))
-    )
+    top_row = intra.groupBy("community").count().agg(F.max("count").alias("m")).first()
+    top = int(top_row["m"] or 0)
+
+    if top > giant_threshold:
+        _dbg(f"split: giant community ({top} intra rows) → distributed split")
+        singles = assign.select("id", F.col("id").alias("community"))
+        out = _distributed_local_moving(
+            intra.select("src", "dst", "weight"), node_w, singles,
+            resolution2, seed ^ 0x5BD1E995, max_sweeps, gamma, quality,
+            True, two_m, bcast=bcast,
+        )
+        # labels are already canonical min-member ids; vertices with no
+        # intra edges kept their singleton id — the kernel semantics
+    else:
+        sub = intra.groupBy("community").applyInPandas(
+            _split_kernel_factory(resolution2, seed), "id long, sub long"
+        )
+        # globally-unique subcommunity label = min member id (no driver
+        # coordination)
+        sub_assign = sub.join(
+            assign.select("id", F.col("community").alias("parent")), "id"
+        )
+        label = (
+            sub_assign.groupBy("parent", "sub").agg(F.min("id").alias("new_c"))
+        )
+        relabeled = sub_assign.join(label, ["parent", "sub"]).select(
+            "id", F.col("new_c").alias("community")
+        )
+        # nodes that had no intra edges → singleton of their own id
+        out = (
+            assign.alias("o")
+            .join(relabeled.alias("r"), "id", "left")
+            .select("id", F.coalesce(F.col("r.community"), F.col("id")).alias("community"))
+            .transform(materialize)
+        )
     # parent map (subcommunity → step-a parent community) — the SLM
     # §1.2(4c) warm start for the next level's initial clustering
     parent_map = (
@@ -494,6 +626,7 @@ def _split_communities(
         .select(F.col("community").alias("id"), F.col("parent").alias("community"))
         .distinct()
     )
+    intra.unpersist()
     return out, parent_map
 
 
@@ -542,7 +675,7 @@ def slm_scale(
     levels replay as the uninterrupted run would (modulo sweeps'
     snapshot timing)."""
     spark = edges.sparkSession
-    LAST_RUN_STATS.update(sweeps=0, levels=0, passes=0)
+    LAST_RUN_STATS.update(sweeps=0, levels=0, passes=0, edge_entries_swept=0)
 
     sym0 = symmetrize(edges).persist()
     two_m = total_weight(sym0)
@@ -567,6 +700,19 @@ def slm_scale(
             resume=(resume and it == 0),
             broadcast_threshold=broadcast_threshold,
         )
+        if variant == "louvain_refine":
+            # multilevel refinement (§1.2(3)): one more LM pass on the
+            # ORIGINAL graph from the merged-down labels; the guard
+            # keeps it monotone, so the pass can only improve Q
+            nv0 = nw0.count()
+            pre_refine = flat
+            flat = _distributed_local_moving(
+                sym0, nw0, flat, resolution2, seed + 7919 * it + max_levels,
+                max_sweeps, gamma, quality, q_guard, two_m,
+                checkpointer=checkpointer, level=max_levels,
+                bcast=(nv0 <= broadcast_threshold),
+            )
+            pre_refine.unpersist()
         q = modularity(sym0, flat, gamma=gamma, quality=quality)
         if best_q is not None and q <= best_q + 1e-9:
             if flat is not best_flat:
@@ -632,15 +778,23 @@ def _scale_pass(
         assign_l = _distributed_local_moving(
             sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
             gamma, quality, q_guard, two_m,
-            checkpointer=checkpointer, level=level, bcast=bcast,
+            checkpointer=checkpointer, level=level, bcast=bcast, m_l=m_l,
         )
         _dbg(f"level {level}: LM done (bcast={bcast}), splitting")
+        if checkpointer is not None:
+            # per-partition lineage (north star / SURVEY §2.1): which
+            # physical partition processed how many edge entries, how
+            # long — once per level, over the level's input edge table
+            checkpointer.log_partition_metrics(
+                sym_l, op="slm_lm_input", level=level, step=step_offset + level
+            )
         parent_map = None
         if variant == "slm":
             assign_l, parent_map = _split_communities(
-                sym_l, node_w_l, assign_l, resolution2, seed + level, bcast=bcast
+                sym_l, node_w_l, assign_l, resolution2, seed + level,
+                bcast=bcast, gamma=gamma, quality=quality, two_m=two_m,
+                max_sweeps=max_sweeps,
             )
-            assign_l = assign_l.transform(materialize)
 
         prev_flat = flat
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
@@ -733,7 +887,18 @@ def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant):
     kernels.compactify(cluster)
 
     rng = np.random.Generator(np.random.PCG64(seed))
-    step = kernels.slm_recursive if variant == "slm" else kernels.louvain_recursive
+    # fast=True: the collected super-graph can hold up to
+    # exact_threshold edges (~10^5 nodes) — the sequential per-node
+    # visit loop would take minutes there; the chunked vectorized LM is
+    # the same Q-class at ~1000× the visit rate (exact label parity is
+    # slm_exact's job, not the scale-mode finisher's)
+    step = {
+        "slm": lambda *a: kernels.slm_recursive(*a, fast=True),
+        "louvain": lambda *a: kernels.louvain_recursive(*a, fast=True),
+        "louvain_refine": lambda *a: kernels.louvain_recursive(
+            *a, refine=True, fast=True
+        ),
+    }[variant]
     for _ in range(32):
         if not step(indptr, nbr, wgt, node_w, cluster, resolution2, rng):
             break

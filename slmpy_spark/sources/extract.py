@@ -71,6 +71,32 @@ def extract_text(html: bytes) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+def extract_text_series(html):
+    """Batch variant of `extract_text` over a pandas Series of binary
+    payloads — identical spec v1 passes applied with pandas `.str`
+    (same compiled regexes → byte-identical output), one pass per rule
+    over the whole Arrow batch instead of a per-page Python call.
+    None payloads yield ''."""
+    import pandas as pd
+
+    s = pd.Series(
+        [b"" if h is None else bytes(h) for h in html], index=html.index
+    ).str.decode("utf-8", errors="replace")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+
+    def num(m: re.Match) -> str:
+        v = m.group(1)
+        cp = int(v[1:], 16) if v[0] in "xX" else int(v)
+        return chr(cp) if 0 <= cp < 0x110000 else m.group(0)
+
+    s = s.str.replace(_NUMERIC_ENT_RE, num, regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
 def normalize_url(url: str) -> str | None:
     """Lowercase scheme+host, strip fragment and default port; None for
     non-http(s)."""
@@ -84,6 +110,42 @@ def normalize_url(url: str) -> str | None:
     if netloc.endswith(":443") and parts.scheme.lower() == "https":
         netloc = netloc[:-4]
     return urlunsplit((parts.scheme.lower(), netloc, parts.path, parts.query, ""))
+
+
+def extract_links_frame(urls, htmls):
+    """Batch variant of `extract_links` over pandas Series (url, html):
+    the script/comment strip and the href scan run batch-wise
+    (`.str.replace` / `.str.extractall` — one C-loop pass per rule);
+    only RFC 3986 resolution + normalization stay per-HREF Python (no
+    vectorized equivalent exists).  Returns a DataFrame (url, link)
+    with the same multiset of pairs as per-page `extract_links`."""
+    import pandas as pd
+
+    s = pd.Series(
+        [b"" if h is None else bytes(h) for h in htmls], index=htmls.index
+    ).str.decode("utf-8", errors="replace")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    hits = s.str.extractall(_HREF_RE)
+    out_u: list[str] = []
+    out_l: list[str] = []
+    if hits.empty:
+        return pd.DataFrame({"url": out_u, "link": out_l})
+    href_raw = hits[1].fillna(hits[2]).fillna(hits[3])
+    base_for = urls.reindex(hits.index.get_level_values(0))
+    self_norm_cache: dict[str, str | None] = {}
+    for base, href in zip(base_for.to_numpy(), href_raw.to_numpy()):
+        href = _decode_entities(str(href).strip())
+        if not href:
+            continue
+        norm = normalize_url(urljoin(base, href))
+        if base not in self_norm_cache:
+            self_norm_cache[base] = normalize_url(base)
+        if norm is None or norm == self_norm_cache[base]:
+            continue
+        out_u.append(base)
+        out_l.append(norm)
+    return pd.DataFrame({"url": out_u, "link": out_l})
 
 
 def extract_links(html: bytes, base_url: str) -> list[str]:

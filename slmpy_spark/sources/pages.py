@@ -3,7 +3,12 @@
 pages(url string, warc_ts timestamp, html binary, text string,
 lang string)  →  edges(src long, dst long, weight double)
 
-Pipeline (all Arrow-vectorized; zero row-at-a-time Python UDFs):
+Pipeline (Arrow-batched mapInPandas for the two extraction kernels —
+no `udf()` anywhere; text extraction is pandas-`.str` vectorized over
+the whole batch, link extraction batches the regex scan but resolves /
+normalizes each href in Python because RFC 3986 resolution has no
+vectorized equivalent — that loop is per *href*, bounded by outlink
+count, not a hidden per-row UDF):
 
   pages ──mapInPandas──▶ (url, link) pairs        [extract.extract_links]
         ──select xxhash64(url), xxhash64(link)──▶ JVM-side stable 64-bit ids
@@ -34,8 +39,6 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from slmpy_spark.sources.extract import extract_links, extract_text
-
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -48,15 +51,10 @@ PAGES_SCHEMA = StructType(
 
 
 def _links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from slmpy_spark.sources.extract import extract_links_frame
+
     for pdf in batches:
-        urls, links = [], []
-        for url, html in zip(pdf["url"], pdf["html"]):
-            if html is None:
-                continue
-            for link in extract_links(bytes(html), url):
-                urls.append(url)
-                links.append(link)
-        yield pd.DataFrame({"url": urls, "link": links})
+        yield extract_links_frame(pdf["url"], pdf["html"])
 
 
 def page_links(pages: DataFrame) -> DataFrame:
@@ -81,11 +79,11 @@ def pages_to_edges(pages: DataFrame) -> DataFrame:
 
 
 def _text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from slmpy_spark.sources.extract import extract_text_series
+
     for pdf in batches:
         out = pdf[["url"]].copy()
-        out["text"] = [
-            extract_text(bytes(h)) if h is not None else "" for h in pdf["html"]
-        ]
+        out["text"] = extract_text_series(pdf["html"])
         yield out
 
 

@@ -47,6 +47,26 @@ def _decode_payload(payload: bytes, kind: str, backend: str) -> np.ndarray:
     return (hist / hist.sum()).astype(np.float32)
 
 
+def docs_to_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table (the
+    sandbox testdata ships no binary columns): payload = the utf-8 text
+    bytes, kind alternates image/audio by id.  Lets the driver exercise
+    the full multimodal plumbing (schema → mapInPandas → features) on
+    real parquet inputs."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit("{}").alias("meta"),
+    )
+
+
 def media_features(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Feature-extract every payload (Arrow-batched, vectorized per
     batch; zero per-row Python on the Spark side)."""

@@ -36,6 +36,23 @@ def modularity_oracle(und_edges, assign: dict, gamma=1.0) -> float:
     return intra / two_m - gamma * sum((t / two_m) ** 2 for t in tot.values())
 
 
+def cpm_oracle(und_edges, assign: dict, gamma=1.0) -> float:
+    """Constant Potts Model quality, independent implementation:
+    Q_CPM = (Σin − γ Σ_c n_c²) / 2m with Σin counting each undirected
+    intra edge twice (directed-pair convention, like the engine)."""
+    adj = build_adj(und_edges)
+    two_m = sum(w for nb in adj.values() for w in nb.values())
+    if two_m == 0:
+        return 0.0
+    intra = sum(
+        w for u, nb in adj.items() for v, w in nb.items() if assign[u] == assign[v]
+    )
+    sizes: dict[int, int] = {}
+    for u in adj:
+        sizes[assign[u]] = sizes.get(assign[u], 0) + 1
+    return (intra - gamma * sum(s * s for s in sizes.values())) / two_m
+
+
 def _local_moving(adj, nodes, node_w, cluster, res2, rng):
     n = len(nodes)
     if n <= 1:

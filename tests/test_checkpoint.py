@@ -60,6 +60,74 @@ def test_pagerank_with_checkpointer(spark, tmp_path):
     assert any(m.get("op") == "pagerank" for m in ck.metrics())
 
 
+def test_table_backend_roundtrip(spark, tmp_path):
+    """Iceberg-shaped V2 writeTo backend (S6).  The sandbox has no
+    Iceberg jar, so this exercises the identical code path against the
+    session catalog with parquet tables; production passes an Iceberg
+    namespace + table_format="iceberg"."""
+    ck = Checkpointer(
+        spark, "", run_id="tb1", backend="table",
+        namespace="spark_catalog.default", table_format="parquet",
+    )
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, community long")
+    try:
+        out = ck.save_state("assign", 0, df)
+    except Exception as exc:  # pragma: no cover - catalog-less session
+        pytest.skip(f"session catalog rejects V2 writeTo: {exc}")
+    try:
+        assert sorted((r.id, r.community) for r in out.collect()) == [(1, 10), (2, 20)]
+        ck.save_state("assign", 2, df)
+        assert ck.latest_step("assign") == 2
+        assert ck.load_state("assign", 0).count() == 2
+        ck.log_metric(op="slm", level=0, n_moves=3)
+        ck.log_metric(op="slm", level=1, n_moves=0)
+        m = ck.metrics()
+        assert [row["seq"] for row in m] == [0, 1]
+        assert m[0]["n_moves"] == 3
+    finally:
+        for t in spark.catalog.listTables("default"):
+            if t.name.startswith("tb1_"):
+                spark.sql(f"DROP TABLE IF EXISTS spark_catalog.default.{t.name}")
+
+
+def test_incomplete_snapshot_ignored(spark, tmp_path):
+    """Kill-mid-write (SURVEY §6.2-7): a snapshot directory without the
+    _SUCCESS marker (crash before commit) must be invisible to resume."""
+    ck = Checkpointer(spark, str(tmp_path), run_id="kill")
+    df = spark.createDataFrame([(1, 1)], "id long, community long")
+    ck.save_state("assign", 0, df)
+    # simulate a crash mid-write of step 1: files exist, no _SUCCESS
+    import os
+
+    p = f"{tmp_path}/kill/assign/step=1"
+    os.makedirs(p, exist_ok=True)
+    with open(f"{p}/part-00000.parquet", "wb") as f:
+        f.write(b"not a real parquet footer")
+    assert ck.latest_step("assign") == 0
+    assert ck.load_state("assign", 1) is None
+    assert ck.load_state("assign").first().id == 1
+
+
+def test_partition_metrics(spark, tmp_path):
+    """North-star per-partition lineage: log_partition_metrics emits one
+    (partition_id, edges_processed, wall_ms) row per physical partition,
+    and an SLM scale run records them per level."""
+    ck = Checkpointer(spark, str(tmp_path), run_id="pm")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v")).repartition(4)
+    n = ck.log_partition_metrics(df, op="probe", level=0)
+    assert n == 4
+    rows = [m for m in ck.metrics() if m["op"] == "probe"]
+    assert sorted(r["partition_id"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["edges_processed"] for r in rows) == 100
+    assert all(r["wall_ms"] >= 0 for r in rows)
+
+    e = edges_df(spark, G.g_two_cliques())
+    engine.slm(e, checkpointer=ck, seed=1, mode="scale",
+               exact_threshold=0, max_sweeps=3)
+    lm_rows = [m for m in ck.metrics() if m["op"] == "slm_lm_input"]
+    assert lm_rows and all("partition_id" in m for m in lm_rows)
+
+
 def test_slm_scale_checkpoints_resumable(spark, tmp_path):
     """SURVEY §6.2-7: interrupt-and-resume equals the uninterrupted run.
     A resumed run (same run_id) restarts after the last completed level

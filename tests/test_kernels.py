@@ -130,6 +130,27 @@ def test_q_monotone_over_iterations():
             break
 
 
-def test_cpm_mode_runs():
+def test_multi_start_picks_best():
+    """G14: n_random_starts=k must return exactly the best-Q result of
+    the k single-seed runs (seed+start seeding contract)."""
+    und = G.gnp(60, 0.08, seed=5)
+    singles = [run(und, seed=s)[1] for s in range(4)]
+    _, qbest = run(und, seed=0, n_random_starts=4)
+    assert qbest == pytest.approx(max(singles), abs=1e-12)
+
+
+def test_cpm_quality_matches_oracle():
+    """G16 value gate: the kernel-reported CPM Q must equal the
+    independent dict-based oracle's value on the found partition."""
     cluster, q = run(G.g_two_cliques(), seed=42, quality="cpm", gamma=0.5)
     assert canon(cluster) == [tuple(range(6)), tuple(range(6, 12))]
+    oq = O.cpm_oracle(
+        G.g_two_cliques(), {i: int(cluster[i]) for i in range(12)}, gamma=0.5
+    )
+    assert q == pytest.approx(oq, abs=1e-9)
+    # a second fixture with a different optimum shape
+    cl2, q2 = run(G.g_ring_cliques_4(), seed=7, quality="cpm", gamma=0.3)
+    oq2 = O.cpm_oracle(
+        G.g_ring_cliques_4(), {i: int(cl2[i]) for i in range(len(cl2))}, gamma=0.3
+    )
+    assert q2 == pytest.approx(oq2, abs=1e-9)

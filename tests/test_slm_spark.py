@@ -104,6 +104,42 @@ def test_slm_scale_powerlaw_reasonable_q(spark):
     assert assign.select("id").distinct().count() == n_vertices
 
 
+def test_louvain_refine_scale(spark):
+    """G15 refinement in SCALE mode: the extra level-0 LM pass must keep
+    Q in the oracle class (and can only improve it — guarded)."""
+    und = G.g_ring_cliques_4()
+    e = edges_df(spark, und)
+    assign, q = engine.louvain(
+        e, seed=42, mode="scale", exact_threshold=0, max_sweeps=8,
+        variant="louvain_refine",
+    )
+    _, oq = O.slm_oracle(und, seed=42)
+    assert q >= oq - 0.03
+    n = engine.vertices(e).count()
+    assert assign.count() == n
+
+
+def test_slm_scale_planted_hub(spark):
+    """SURVEY §6.2-6 hub-skew gate: a hub vertex wired into EVERY other
+    vertex (degree = n, the 100 TB 'popular page' shape) must neither
+    stall nor degrade the distributed sweep — its k_{i,c} rows are
+    partially aggregated map-side (the engine-level salting), so no
+    single task sees the full adjacency.  Q must stay in the
+    sequential oracle's class and the result must be deterministic."""
+    und = G.g_ring_cliques_4()
+    hub = [(100, v, 1.0) for v in range(24)]
+    e = edges_df(spark, und + hub)
+    assign, q = engine.slm(e, seed=3, mode="scale", exact_threshold=0, max_sweeps=8)
+    _, oq = O.slm_oracle(und + hub, seed=3)
+    assert q >= oq - 0.03
+    n_vertices = engine.vertices(e).count()
+    assert assign.count() == n_vertices
+    # deterministic rerun
+    assign2, q2 = engine.slm(e, seed=3, mode="scale", exact_threshold=0, max_sweeps=8)
+    assert q2 == pytest.approx(q, abs=1e-12)
+    assert canon_df(assign2) == canon_df(assign)
+
+
 def test_slm_auto_picks_exact_for_small(spark):
     assign, q = engine.slm(edges_df(spark, G.g_two_cliques()), seed=42, mode="auto")
     assert canon_df(assign) == [tuple(range(6)), tuple(range(6, 12))]
