@@ -463,7 +463,11 @@ def _distributed_local_moving(
             best_q = q_prev
             best_state = state
             stall = 0
-            move_frac = min(1.0, move_frac * 1.5)
+            # relax damping on acceptance, but cap at 0.75: measured on
+            # the 10M-edge ladder, full (1.0) sweeps gain ~0 Q and get
+            # rejected while 0.5-fraction sweeps gain +0.03 each — the
+            # synchronous overshoot needs a permanent minority of holdouts
+            move_frac = min(0.75, move_frac * 1.5)
             if q_guard and gained < q_tol:
                 # converged to tolerance: the pending proposal can only
                 # chase diminishing returns — stop here, keep the best
@@ -647,7 +651,7 @@ def slm_scale(
     variant: str = "slm",
     resume: bool = False,
     n_iterations: int = 1,
-    broadcast_threshold: int = 8_000_000,
+    broadcast_threshold: int = 250_000,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
     Returns (assign, q) — q computed on the original graph.
@@ -731,7 +735,7 @@ def _scale_pass(
     sym0, nw0, two_m, resolution2, gamma, quality, seed, max_levels,
     max_sweeps, exact_threshold, q_guard, variant,
     checkpointer, step_offset, init_flat, resume,
-    broadcast_threshold=8_000_000,
+    broadcast_threshold=250_000,
 ):
     """One full SLM/Louvain hierarchy pass (level loop). Returns the
     flat original-vertex → community assignment."""
