@@ -413,11 +413,13 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": f"""
         SELECT vec_id, CAST({_lsh_weights_sql(8)} AS BIGINT) AS bucket
         FROM embeddings""",
-        # pagerank / slm / louvain / label_propagation /
-        # minhash_lsh_candidates / simhash_signatures / ann_topk: no
-        # portable ANSI-SQL equivalent (iterative fixpoints or
-        # engine-specific 64-bit hashes) → rows-only driver check;
-        # value parity is enforced by pytest oracles in tests/.
+        # pagerank / slm / slm_scale / louvain / label_propagation /
+        # minhash_signatures / minhash_lsh_candidates /
+        # simhash_signatures / simhash_candidates / ann_topk /
+        # media_features: no portable ANSI-SQL equivalent (iterative
+        # fixpoints, engine-specific 64-bit hashes, or Arrow decode
+        # kernels) → rows-only driver check; value parity is enforced
+        # by pytest oracles in tests/.
     }
 
 

@@ -794,37 +794,44 @@ def _scale_pass(
             )
         parent_map = None
         if variant == "slm":
+            lm_out = assign_l
             assign_l, parent_map = _split_communities(
                 sym_l, node_w_l, assign_l, resolution2, seed + level,
                 bcast=bcast, gamma=gamma, quality=quality, two_m=two_m,
                 max_sweeps=max_sweeps,
             )
+            lm_out.unpersist()  # split output (materialized) supersedes it
 
         prev_flat = flat
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
         if prev_flat is not None and prev_flat is not flat:
             prev_flat.unpersist()
 
-        _dbg(f"level {level}: split done, counting")
-        counts = assign_l.agg(
-            F.count("*").alias("nv"), F.countDistinct("community").alias("nc")
-        ).first()
-        n_vertices, n_comms = int(counts["nv"]), int(counts["nc"])
-        if n_comms >= n_vertices:
-            break  # nothing merged at this level → converged
-
-        super_edges, _sw = aggregate_graph(sym_l, assign_l)
+        _dbg(f"level {level}: split done, aggregating")
+        # next level's node weights double as the convergence check:
+        # its row count IS the community count (saves the separate
+        # count-distinct job per level; nv is this level's node_w count,
+        # already known)
         node_w_next = (
             node_w_l.join(assign_l, "id")
             .groupBy("community")
             .agg(F.sum("node_w").alias("node_w"))
             .select(F.col("community").alias("id"), "node_w")
+            .transform(materialize)
         )
+        n_vertices, n_comms = nv, node_w_next.count()
+        if n_comms >= n_vertices:
+            node_w_next.unpersist()
+            break  # nothing merged at this level → converged
+
+        super_edges, _sw = aggregate_graph(sym_l, assign_l)
         old_sym = sym_l
         sym_l = super_edges.transform(materialize)
         if old_sym is not sym0:
             old_sym.unpersist()
-        node_w_l = node_w_next.transform(materialize)
+        if node_w_l is not nw0:
+            node_w_l.unpersist()
+        node_w_l = node_w_next
         # next level's initial clustering: SLM groups subcommunities by
         # their step-a parent (§1.2(4c) warm start); Louvain starts
         # from singleton super-nodes

@@ -89,10 +89,18 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_n: int = 3) -> Data
 
 
 def lsh_candidates(
-    docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3
+    docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a, b) a<b via banded MinHash-LSH:
-    docs sharing any band of k/bands consecutive minhashes collide."""
+    docs sharing any band of k/bands consecutive minhashes collide.
+
+    `max_bucket` drops degenerate buckets before the per-bucket
+    self-join: a bucket of B docs emits O(B²) pairs, so one pathological
+    band value (e.g. millions of empty/boilerplate documents sharing a
+    signature) would otherwise quadratically explode a 10^12-doc run.
+    Docs in a dropped bucket still pair through their other bands;
+    truly identical texts belong to `exact_duplicates` anyway."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k=k, shingle_n=shingle_n)
     banded = sig.select(
@@ -119,6 +127,13 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    ok = (
+        banded.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bh")
+    )
+    banded = banded.join(ok, ["band", "bh"], "left_semi")
     l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
     return (
@@ -209,11 +224,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 10_000
+) -> DataFrame:
     """Near-dup pairs by simhash: bucket on each of the four 16-bit
     blocks (any pair within Hamming distance ≤ 3 of 64 bits shares at
     least one identical block by pigeonhole when distance < 4), then
-    verify Hamming distance exactly. Returns (a, b, hamming)."""
+    verify Hamming distance exactly. Returns (a, b, hamming).
+
+    `max_bucket` bounds the per-block self-join like lsh_candidates —
+    a 16-bit block value shared by B docs emits O(B²) verify pairs."""
     sig = simhash_signatures(docs).persist()
     blocks = sig.select(
         "doc_id",
@@ -232,6 +252,13 @@ def simhash_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.blk", "bb.bv")
+    ok = (
+        blocks.groupBy("blk", "bv")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("blk", "bv")
+    )
+    blocks = blocks.join(ok, ["blk", "bv"], "left_semi")
     l = blocks.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "blk", "bv"
     )

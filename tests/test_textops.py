@@ -124,6 +124,21 @@ def test_cosine_topk_matches_numpy(spark):
         assert [t[0] for t in got] == order
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """Degenerate buckets (many docs sharing a band value) must be
+    dropped before the per-bucket self-join — the O(B²) blowup guard."""
+    docs = spark.createDataFrame(
+        [(i, "the same text repeated here always") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = dedup.lsh_candidates(docs, k=8, bands=4, shingle_n=1, max_bucket=10)
+    assert out.count() == 0  # every bucket holds all 50 docs → capped
+    out2 = dedup.lsh_candidates(docs, k=8, bands=4, shingle_n=1, max_bucket=100)
+    assert out2.count() == 50 * 49 // 2
+    sh = dedup.simhash_candidates(docs, max_hamming=3, max_bucket=10)
+    assert sh.count() == 0
+
+
 def test_ann_topk_candidates_share_a_bucket(spark):
     """Every ANN result must collide with the query in ≥1 LSH table."""
     rng = np.random.default_rng(7)
