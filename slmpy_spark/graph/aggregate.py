@@ -31,7 +31,10 @@ def aggregate_graph(sym: DataFrame, assign: DataFrame):
     """
     a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
     a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
-    j = sym.join(a_src, "src").join(a_dst, "dst")
+    # dst joined first: inside the SLM level loop `sym` arrives cached
+    # in repartition("dst") layout, so the big side exchanges only once
+    # (on src) instead of twice
+    j = sym.join(a_dst, "dst").join(a_src, "src")
     grouped = j.groupBy("cs", "cd").agg(F.sum("weight").alias("weight"))
     super_edges = grouped.where(F.col("cs") != F.col("cd")).select(
         F.col("cs").alias("src"), F.col("cd").alias("dst"), "weight"

@@ -193,39 +193,47 @@ def _propose_moves(
     on one reducer (SURVEY §5.3 salting, engine-provided).  With
     `bcast` every vertex-side input joins map-side; the edge table is
     scanned once with zero shuffle.  Without `bcast` (vertex table too
-    big to broadcast) the same plan degrades gracefully to shuffled
-    hash joins on src/dst — AQE picks partition counts.
+    big to broadcast), Σtot rides ON the vertex state into both joins
+    (`sigma_cand` is constant per cand, so `first()` carries it through
+    the k_{i,c} aggregation) — the kic-sized intermediate is shuffled
+    exactly ONCE (the join on src, whose hash(src) layout the argmax
+    groupBy then reuses), instead of once per side table.
     """
     hint = F.broadcast if bcast else _ident
 
     sigma = state.groupBy("community").agg(F.sum("node_w").alias("sigma"))
+    # vertex state with its community's Σtot riding along (vertex-sized
+    # join; recomputed per use — both uses are cheap next to one
+    # kic-sized shuffle, which this layout avoids)
+    state_x = state.join(hint(sigma), "community").select(
+        "id", "community", "node_w", "sigma"
+    )
 
     kic = (
         sym.join(
-            hint(state.select(F.col("id").alias("dst"), F.col("community").alias("cand"))),
+            hint(
+                state_x.select(
+                    F.col("id").alias("dst"),
+                    F.col("community").alias("cand"),
+                    F.col("sigma").alias("sigma_cand"),
+                )
+            ),
             "dst",
         )
         .groupBy("src", "cand")
-        .agg(F.sum("weight").alias("kic"))
+        .agg(F.sum("weight").alias("kic"), F.first("sigma_cand").alias("sigma_cand"))
     )
     cand = (
         kic.join(
             hint(
-                state.select(
+                state_x.select(
                     F.col("id").alias("src"),
                     F.col("community").alias("c_src"),
                     F.col("node_w").alias("w_src"),
+                    F.col("sigma").alias("sigma_src"),
                 )
             ),
             "src",
-        )
-        .join(
-            hint(sigma.select(F.col("community").alias("cand"), F.col("sigma").alias("sigma_cand"))),
-            "cand",
-        )
-        .join(
-            hint(sigma.select(F.col("community").alias("c_src"), F.col("sigma").alias("sigma_src"))),
-            "c_src",
         )
         .withColumn(
             "gain",
@@ -329,8 +337,8 @@ def _assign_quality(
     a_src = hint(state.select(F.col("id").alias("src"), F.col("community").alias("cs")))
     a_dst = hint(state.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
     intra_row = (
-        sym.join(a_src, "src")
-        .join(a_dst, "dst")
+        sym.join(a_dst, "dst")
+        .join(a_src, "src")
         .agg(
             F.sum(F.when(F.col("cs") == F.col("cd"), F.col("weight")).otherwise(0.0))
             .alias("intra")
@@ -369,6 +377,7 @@ def _distributed_local_moving(
     m_l: int = 0,
     init_frac: float = 0.5,
     q_tol: float = 1e-4,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Superstep local moving with adaptive damping and a *deferred*
     monotone-Q guard.
@@ -401,12 +410,14 @@ def _distributed_local_moving(
     the (src, cand) partial-agg + argmax, checkpointed) and one
     vertex-sized stats aggregation.  Rejection wastes exactly one
     speculative decision job (same cost as the old retry)."""
-    if not bcast:
+    if not bcast and not pre_partitioned:
         # huge-vertex-table path: pre-hash-partition the edge table by
-        # dst ONCE per level and persist — every sweep's first join
-        # (dst → candidate community) then reuses the cached layout and
-        # only the vertex-sized state shuffles per sweep (the same
-        # iterative-join trick as pagerank's contrib_edges)
+        # dst ONCE and persist — every sweep's first join (dst →
+        # candidate community) then reuses the cached layout and only
+        # the vertex-sized state shuffles per sweep (the same
+        # iterative-join trick as pagerank's contrib_edges).  In the
+        # level loop the CALLER owns this cache (pre_partitioned=True)
+        # so the split and aggregation phases reuse it too.
         sym = sym.repartition("dst").persist()
         sym.count()
         owned_sym = sym
@@ -423,8 +434,16 @@ def _distributed_local_moving(
     move_frac = init_frac
     patience = 4
     stall = 0
-    owned = [state]  # checkpoints created here, for unpersist hygiene
     pending = False  # does `state` hold an adopted-but-unevaluated proposal?
+
+    # Unpersist hygiene: the guard can only ever revert to `best_state`,
+    # so any sweep state that is neither `best_state` nor the current
+    # `state` is dead and its checkpoint blocks are freed IMMEDIATELY.
+    # Keeping them until level end (the old `owned` list) let ~16
+    # vertex-sized row-format block sets pile up in storage memory and
+    # evict the level's cached edge table — measured on the 10M-edge
+    # ladder as intermittent 3–4× propose-time spikes (cache rebuild)
+    # from sweep ~8 onward.
 
     for sweep in range(max_sweeps):
         t0 = _time.time()
@@ -454,14 +473,18 @@ def _distributed_local_moving(
                 stall += 1
                 move_frac = max(0.125, move_frac / 2)
                 prop.unpersist()
+                doomed = state
                 state = best_state
+                doomed.unpersist()  # rejected state: never needed again
                 pending = False
                 if stall >= patience:
                     break
                 continue
             gained = q_prev - best_q
             best_q = q_prev
+            old_best = best_state
             best_state = state
+            old_best.unpersist()  # superseded best: free its blocks now
             stall = 0
             # relax damping on acceptance, but cap at 0.75: measured on
             # the 10M-edge ladder, full (1.0) sweeps gain ~0 Q and get
@@ -480,7 +503,6 @@ def _distributed_local_moving(
             break
         state = prop
         pending = True
-        owned.append(prop)
 
     if pending and q_guard:
         # last adopted proposal was never revealed by a later sweep —
@@ -495,9 +517,9 @@ def _distributed_local_moving(
     assign_out = _canonical_labels(best_state.select("id", "community")).transform(
         materialize
     )
-    for df in owned:
-        if df is not assign_out:
-            df.unpersist()
+    if state is not best_state:
+        state.unpersist()
+    best_state.unpersist()
     if owned_sym is not None:
         owned_sym.unpersist()
     return assign_out
@@ -509,7 +531,9 @@ def _distributed_local_moving(
 def _split_kernel_factory(resolution2: float, seed: int):
     """LM-from-singletons inside one community (G6). Input rows: the
     community's intra edges (src, dst, weight, w_src). Output:
-    (id, sub) with sub = local subcluster index."""
+    (id, sub) with sub = the subcommunity's MIN MEMBER VERTEX ID —
+    globally unique with zero coordination (members are disjoint across
+    communities), so the caller needs no relabel join afterwards."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         comm = int(key[0])
@@ -538,7 +562,11 @@ def _split_kernel_factory(resolution2: float, seed: int):
             kernels.local_moving_chunked(
                 indptr, nbr, wgt, node_w, cluster, resolution2, rng
             )
-        return pd.DataFrame({"id": ids, "sub": cluster})
+        # local cluster index → min member vertex id (ids is sorted, so
+        # a min-scatter over cluster indices gives it vectorized)
+        min_id = np.full(int(cluster.max()) + 1, np.iinfo(np.int64).max)
+        np.minimum.at(min_id, cluster, ids)
+        return pd.DataFrame({"id": ids, "sub": min_id[cluster]})
 
     return kernel
 
@@ -577,14 +605,22 @@ def _split_communities(
       community at once, fully distributed, with identical semantics.
     """
     hint = F.broadcast if bcast else _ident
-    a_src = hint(assign.select(F.col("id").alias("src"), F.col("community").alias("c_src")))
     a_dst = hint(assign.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")))
-    nw_src = hint(node_w.select(F.col("id").alias("src"), F.col("node_w").alias("w_src")))
+    # src side: labels and node weights in ONE vertex-sized pre-join, so
+    # the edge table is joined on src once; joining dst FIRST reuses the
+    # level's repartition("dst") cache layout (zero exchange on the big
+    # side), leaving exactly one big-table shuffle (by src)
+    src_side = hint(
+        assign.join(node_w, "id").select(
+            F.col("id").alias("src"),
+            F.col("community").alias("c_src"),
+            F.col("node_w").alias("w_src"),
+        )
+    )
     intra = (
-        sym.join(a_src, "src")
-        .join(a_dst, "dst")
+        sym.join(a_dst, "dst")
+        .join(src_side, "src")
         .where(F.col("c_src") == F.col("c_dst"))
-        .join(nw_src, "src")
         .select("src", "dst", "weight", "w_src", F.col("c_src").alias("community"))
         .persist()
     )
@@ -602,25 +638,17 @@ def _split_communities(
         # labels are already canonical min-member ids; vertices with no
         # intra edges kept their singleton id — the kernel semantics
     else:
+        # the kernel already emits globally-unique min-member-id labels
+        # (members are disjoint across parent communities), so the only
+        # remaining join fills in intra-edge-less vertices as singletons
+        # of their own id
         sub = intra.groupBy("community").applyInPandas(
             _split_kernel_factory(resolution2, seed), "id long, sub long"
         )
-        # globally-unique subcommunity label = min member id (no driver
-        # coordination)
-        sub_assign = sub.join(
-            assign.select("id", F.col("community").alias("parent")), "id"
-        )
-        label = (
-            sub_assign.groupBy("parent", "sub").agg(F.min("id").alias("new_c"))
-        )
-        relabeled = sub_assign.join(label, ["parent", "sub"]).select(
-            "id", F.col("new_c").alias("community")
-        )
-        # nodes that had no intra edges → singleton of their own id
         out = (
             assign.alias("o")
-            .join(relabeled.alias("r"), "id", "left")
-            .select("id", F.coalesce(F.col("r.community"), F.col("id")).alias("community"))
+            .join(sub.alias("r"), "id", "left")
+            .select("id", F.coalesce(F.col("r.sub"), F.col("id")).alias("community"))
             .transform(materialize)
         )
     # parent map (subcommunity → step-a parent community) — the SLM
@@ -779,10 +807,20 @@ def _scale_pass(
         nv = node_w_l.count()
         bcast = nv <= broadcast_threshold
         LAST_RUN_STATS["levels"] += 1
+        if not bcast:
+            # level-owned edge cache: ONE repartition("dst") + persist
+            # reused by every sweep's kic join, the split's intra join,
+            # and the aggregation — the level's edge table is shuffled
+            # into this layout exactly once
+            sym_j = sym_l.repartition("dst").persist()
+            sym_j.count()
+        else:
+            sym_j = sym_l
         assign_l = _distributed_local_moving(
-            sym_l, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
+            sym_j, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
             gamma, quality, q_guard, two_m,
             checkpointer=checkpointer, level=level, bcast=bcast, m_l=m_l,
+            pre_partitioned=True,
         )
         _dbg(f"level {level}: LM done (bcast={bcast}), splitting")
         if checkpointer is not None:
@@ -790,13 +828,13 @@ def _scale_pass(
             # physical partition processed how many edge entries, how
             # long — once per level, over the level's input edge table
             checkpointer.log_partition_metrics(
-                sym_l, op="slm_lm_input", level=level, step=step_offset + level
+                sym_j, op="slm_lm_input", level=level, step=step_offset + level
             )
         parent_map = None
         if variant == "slm":
             lm_out = assign_l
             assign_l, parent_map = _split_communities(
-                sym_l, node_w_l, assign_l, resolution2, seed + level,
+                sym_j, node_w_l, assign_l, resolution2, seed + level,
                 bcast=bcast, gamma=gamma, quality=quality, two_m=two_m,
                 max_sweeps=max_sweeps,
             )
@@ -822,11 +860,15 @@ def _scale_pass(
         n_vertices, n_comms = nv, node_w_next.count()
         if n_comms >= n_vertices:
             node_w_next.unpersist()
+            if sym_j is not sym_l:
+                sym_j.unpersist()
             break  # nothing merged at this level → converged
 
-        super_edges, _sw = aggregate_graph(sym_l, assign_l)
-        old_sym = sym_l
+        super_edges, _sw = aggregate_graph(sym_j, assign_l)
+        old_sym, old_sym_j = sym_l, sym_j
         sym_l = super_edges.transform(materialize)
+        if old_sym_j is not old_sym:
+            old_sym_j.unpersist()
         if old_sym is not sym0:
             old_sym.unpersist()
         if node_w_l is not nw0:
