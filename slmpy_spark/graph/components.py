@@ -35,7 +35,11 @@ def connected_components(
 ) -> DataFrame:
     """Exact undirected connected components. Returns (id, component)."""
     spark = edges.sparkSession
-    sym = symmetrize(edges).select("src", "dst").persist()
+    # pre-hash-partitioned on the per-round join key (dst) and cached:
+    # the edge table enters this layout once and never exchanges again —
+    # only the vertex-sized label table shuffles per round (the same
+    # iterative-join layout as pagerank's contrib_edges)
+    sym = symmetrize(edges).select("src", "dst").repartition("dst").persist()
     verts = vertices(edges).persist()
     if verts.count() == 0:
         return spark.createDataFrame([], "id long, component long")

@@ -10,9 +10,10 @@ Semantics (pinned; GraphX-compatible, deterministic):
   on bipartite-ish structures can oscillate, so a fixed iteration cap
   is part of the contract, as in GraphX).
 
-One round = one join + one groupBy + one window — all Catalyst-native,
-whole-stage-codegen'd; the window partitions by vertex so the rank-1
-filter never materializes a hub's full candidate list on the driver.
+One round = one join + two hash aggregations (per-label weight sum,
+then a struct-max argmax) — all Catalyst-native, whole-stage-codegen'd;
+partial map-side combine means a hub's candidate list never lands on a
+single reducer.
 """
 
 from __future__ import annotations
@@ -29,7 +30,9 @@ def label_propagation(
 ) -> DataFrame:
     """Returns assign(id long, label long) after `max_iter` synchronous
     rounds (early-exits when no label changes)."""
-    sym = symmetrize(edges).persist()
+    # pre-hash-partitioned on the per-round join key (dst) and cached,
+    # so only the vertex-sized label table shuffles per round
+    sym = symmetrize(edges).repartition("dst").persist()
     verts = vertices(edges).persist()
 
     labels = verts.select("id", F.col("id").alias("label"))
