@@ -118,21 +118,30 @@ def main():
     results = {}
     with open(raw_path, "a") as raw:
         for op in args.ops.split(","):
-            for cpus in (8, 32):
-                secs = []
-                rec = None
-                for rep in range(args.reps):
+            secs = {8: [], 32: []}
+            rec_last = {}
+            # MATCHED PHASES: each rep runs the 8-core and 32-core
+            # levels back-to-back before the next rep, so a drifting
+            # host-load phase hits both levels of a pair equally
+            # (r2's official table mixed phases and understated
+            # efficiency by up to 2x vs a quiet-window probe)
+            for rep in range(args.reps):
+                for cpus in (8, 32):
                     rec = run_level(cpus, args.nodes, args.edges, op)
                     rec["rep"] = rep
                     raw.write(json.dumps(rec) + "\n")
                     raw.flush()
-                    secs.append(rec["secs"])
-                med = statistics.median(secs)
+                    secs[cpus].append(rec["secs"])
+                    rec_last[cpus] = rec
+                    print(f"{op} local[{cpus}] rep {rep}: {rec['secs']:.1f}s",
+                          flush=True)
+            for cpus in (8, 32):
+                med = statistics.median(secs[cpus])
                 # throughput from the worker-reported work counter
                 # (actual edge-entries processed), not a re-derived
                 # constant-factor guess
-                results[(op, cpus)] = {**rec, "secs": med,
-                                       "throughput": rec["work"] / med}
+                results[(op, cpus)] = {**rec_last[cpus], "secs": med,
+                                       "throughput": rec_last[cpus]["work"] / med}
                 print(f"{op} local[{cpus}]: median {med:.1f}s", flush=True)
 
     lines = [

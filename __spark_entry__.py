@@ -159,15 +159,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda spark, sf: similarity.ann_topk(
             _emb(spark, sf), k=10, n_planes=8, n_queries=5
         ),
+        # array columns projected to CSV strings *in the query lambda
+        # only* (engine APIs keep arrays): the driver's canonicalizer
+        # sorts every column pandas-side and dies on list cells
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
             _docs(spark, sf), k=16
+        ).select(
+            "doc_id",
+            F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_csv"),
         ),
         "simhash_candidates": lambda spark, sf: dedup.simhash_candidates(
             _docs(spark, sf), max_hamming=3
         ),
         "media_features": lambda spark, sf: multimodal.media_features(
             multimodal.docs_to_media(_docs(spark, sf))
+        ).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.concat_ws(
+                ",",
+                F.transform("feat", lambda x: F.round(x.cast("double"), 6).cast("string")),
+            ).alias("feat_csv"),
         ),
+        # banded multi-table ANN bucketing — integer-deterministic, so
+        # it gets a full DuckDB value oracle (covers the ANN path's
+        # hashing; the top-k itself stays rows-only by design)
+        "ann_bucket_tables": lambda spark, sf: similarity.lsh_bucket_tables(
+            _emb(spark, sf), n_tables=4, n_planes=6
+        ).select("vec_id", F.col("table").alias("tbl"), "bucket"),
         # flagship distributed path at driver scale (exact_threshold low
         # enough that level 0 runs the JVM-side sweep, not the exact kernel)
         "slm_scale": lambda spark, sf: engine.slm(
@@ -197,6 +217,28 @@ def _lsh_weights_sql(n_planes: int = 8) -> str:
             f"THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(cases)
+
+
+def _lsh_tables_sql(n_tables: int, n_planes: int) -> str:
+    """DuckDB twin of similarity.lsh_bucket_tables: per-table UNION ALL
+    with literal weight lists w[gp][d] = ((gp*131 + d*197) % 7) - 3,
+    gp = t*n_planes + p, bit value 2^p."""
+    parts = []
+    for t in range(n_tables):
+        cases = []
+        for p in range(n_planes):
+            gp = t * n_planes + p
+            w = [((gp * 131 + d * 197) % 7) - 3 for d in range(64)]
+            lit = "[" + ", ".join(f"{x}.0" for x in w) + "]"
+            cases.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        parts.append(
+            f"SELECT vec_id, {t} AS tbl, "
+            f"CAST({' + '.join(cases)} AS BIGINT) AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _lpa_one_round(spark: SparkSession, sf: str) -> DataFrame:
@@ -413,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": f"""
         SELECT vec_id, CAST({_lsh_weights_sql(8)} AS BIGINT) AS bucket
         FROM embeddings""",
+        "ann_bucket_tables": _lsh_tables_sql(4, 6),
         # pagerank / slm / slm_scale / louvain / label_propagation /
         # minhash_signatures / minhash_lsh_candidates /
         # simhash_signatures / simhash_candidates / ann_topk /

@@ -161,8 +161,12 @@ class Checkpointer:
         if self.backend == "table":
             pat = re.compile(re.escape(f"{self.run_id}_{state}_s") + r"(\d+)$")
             steps = []
-            for t in self.spark.catalog.listTables(self.namespace.split(".")[-1]):
-                m = pat.match(t.name)
+            # SHOW TABLES IN <ns> takes the FULL (possibly multi-part)
+            # namespace — e.g. 'ice.graph' lists the Iceberg catalog's
+            # db, not a same-named db in the current catalog (which is
+            # what listTables on the last part alone would do)
+            for t in self.spark.sql(f"SHOW TABLES IN {self.namespace}").collect():
+                m = pat.match(t["tableName"])
                 if m:
                     steps.append(int(m.group(1)))
             return max(steps) if steps else None

@@ -23,7 +23,7 @@ Output: assign(id long, component long), component = min id reachable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
@@ -62,9 +62,11 @@ def connected_components(
             ).alias("component"),
         )
         # path halving: component ← label of component (pointer jump);
-        # the changed flag rides along so convergence detection is a
-        # cheap scan of the materialized frame, not a second join job
+        # the changed flag rides along and its sum is OBSERVED on the
+        # materialize action itself — one Spark job per round, no
+        # separate convergence scan
         jump = cand.select(F.col("id").alias("jid"), F.col("component").alias("jcomp"))
+        obs = Observation()
         new_labels = (
             cand.join(jump, cand.component == jump.jid, "left")
             .select(
@@ -74,10 +76,11 @@ def connected_components(
                 .cast("int")
                 .alias("changed"),
             )
+            .observe(obs, F.sum("changed").alias("ch"))
         )
         new_labels = new_labels.transform(materialize)
 
-        changed = int(new_labels.agg(F.sum("changed")).first()[0] or 0)
+        changed = int(obs.get["ch"] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:

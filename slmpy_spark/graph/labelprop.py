@@ -18,7 +18,7 @@ single reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
@@ -39,11 +39,18 @@ def label_propagation(
     labels = labels.transform(materialize)
 
     for it in range(max_iter):
-        # the changed flag rides on the materialized frame so
-        # convergence detection is a cheap scan, not a second join job
-        new_labels = lpa_round(sym, labels, verts, with_changed=True)
+        # the changed flag rides on the frame and its sum is OBSERVED
+        # on the materialize action — one Spark job per round.  The
+        # iterated path passes verts=None: `labels` is verts-complete
+        # by construction (the coalesce keeps every id), so the public
+        # signature's verts re-join would only add a vertex-sized hash
+        # join per round.
+        obs = Observation()
+        new_labels = lpa_round(sym, labels, None, with_changed=True).observe(
+            obs, F.sum("changed").alias("ch")
+        )
         new_labels = new_labels.transform(materialize)
-        changed = int(new_labels.agg(F.sum("changed")).first()[0] or 0)
+        changed = int(obs.get["ch"] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
@@ -59,11 +66,19 @@ def label_propagation(
 
 
 def lpa_round(
-    sym: DataFrame, labels: DataFrame, verts: DataFrame, with_changed: bool = False
+    sym: DataFrame,
+    labels: DataFrame,
+    verts: DataFrame | None = None,
+    with_changed: bool = False,
 ) -> DataFrame:
     """One synchronous LPA round (SQL-expressible — used by the DuckDB
     oracle in __spark_entry__): adopt the max-weight neighbor label,
     ties → min label; isolated vertices keep theirs.
+
+    `verts=None` trusts `labels` to already cover every vertex (true
+    for the iterated loop, whose output keeps every id) and skips the
+    vertex re-join; pass `verts` when `labels` may be partial (the
+    public single-round contract).
 
     The argmax is a struct-max hash aggregation (max weight, tie →
     lowest label via max(w, -label)) — no window sort, so a hub's
@@ -85,4 +100,9 @@ def lpa_round(
             .cast("int")
             .alias("changed")
         )
-    return verts.join(labels.select("id", "label"), "id").join(best, "id", "left").select(*cols)
+    base = (
+        labels.select("id", "label")
+        if verts is None
+        else verts.join(labels.select("id", "label"), "id")
+    )
+    return base.join(best, "id", "left").select(*cols)

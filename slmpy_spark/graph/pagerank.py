@@ -5,10 +5,12 @@ Semantics (pinned for the 1e-6 parity gate, BASELINE.json north_rule):
     r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  dangling_mass/N )
 
 - outdeg(u) = *count* of distinct out-edges (unweighted contribution
-  split, the classic formulation; a weighted variant divides by out_w).
+  split, the classic formulation); ``weighted=True`` splits by edge
+  weight instead — contribution fraction = weight/out_w — the
+  web-graph link-multiplicity variant.
 - dangling_mass = Σ r(u) over vertices with no out-edges, redistributed
   uniformly — keeps Σ r = 1 exactly each iteration.
-- convergence: max |r' - r| < tol (L∞), checked with a single agg.
+- convergence: max |r' - r| < tol (L∞), observed on the iteration job.
 
 Scale notes (100 TB / 1000 executors):
 - the per-iteration plan is `ranks ⋈ edges on src` → groupBy(dst).sum.
@@ -26,13 +28,19 @@ Scale notes (100 TB / 1000 executors):
 - lineage is truncated every iteration via localCheckpoint (or a
   Checkpointer) — without it Catalyst replans a k-join-deep tree at
   iteration k and driver planning time explodes.
-- dangling mass and the convergence delta are single driver scalars per
-  iteration, not collects of vertex data.
+- **ONE Spark job per iteration**: the convergence delta (max |r'−r|,
+  via the old rank carried through the vertex-sized join) and the NEXT
+  iteration's dynamic dangling mass (Σ r' over dangling vertices, via
+  a `dang` flag riding on the rank state) are `DataFrame.observe`
+  metrics delivered by the materialize action itself — no separate
+  dangling-sum or delta jobs (they used to make it 3 jobs/iteration,
+  and per-iteration job-submission latency is exactly the serial floor
+  the N→4N scaling efficiency divides by).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import out_degrees, vertices
@@ -46,8 +54,14 @@ def pagerank(
     max_iter: int = 100,
     checkpoint_interval: int = 5,
     checkpointer=None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Return ranks(id long, rank double), Σ rank = 1.
+
+    `weighted=True`: contributions split proportionally to edge weight
+    (frac = weight/out_w) instead of uniformly (1/out_deg) — the
+    web-graph variant where a page linked twice receives twice the
+    mass.
 
     `checkpointer`: optional slmpy_spark.checkpoint.Checkpointer; when
     given, per-iteration state is persisted (resumable); otherwise
@@ -84,12 +98,19 @@ def pagerank(
         has_in.select("id", F.lit(True).alias("dyn")), "id", "left"
     ).select(
         F.col("id").alias("src"),
-        (F.lit(1.0) / F.col("out_deg")).alias("frac"),
+        F.col("out_deg"),
+        F.col("out_w"),
         F.coalesce(F.col("dyn"), F.lit(False)).alias("dyn"),
     )
+    # contribution fraction: per-edge weight share (weighted) or the
+    # uniform 1/out_deg split — both fixed across iterations
+    frac_expr = (
+        (F.col("weight") / F.col("out_w")) if weighted
+        else (F.lit(1.0) / F.col("out_deg"))
+    ).alias("frac")
     if n_flat:
         all_contrib = edges.join(src_info, "src").select(
-            "src", "dst", "frac", "dyn"
+            "src", "dst", frac_expr, "dyn"
         ).persist()
         contrib_edges = (
             all_contrib.where("dyn")
@@ -112,7 +133,7 @@ def pagerank(
         # plain formulation
         contrib_edges = (
             edges.join(src_info, "src")
-            .select("src", "dst", "frac")
+            .select("src", "dst", frac_expr)
             .repartition(n_parts, "src")
             .persist()
         )
@@ -125,33 +146,38 @@ def pagerank(
     # n_dangling_flat = (n − |has_out|) − n_dangling_dyn, no extra scan.
     has_out = edges.select(F.col("src").alias("id")).distinct().persist()
     n_out = has_out.count()
-    dangling_dyn = has_in.join(has_out, "id", "left_anti").persist()
-    n_dangling_dyn = dangling_dyn.count()
-    n_dangling_flat = (n - n_out) - n_dangling_dyn
-    has_out.unpersist()
+    dangling_dyn = has_in.join(has_out, "id", "left_anti")
     r_flat = 1.0 / n  # current rank of every no-in vertex
 
-    ranks = has_in.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.transform(materialize)
+    # rank state carries a `dang` flag (dynamic vertex with no
+    # out-edges) so each iteration's materialize job can OBSERVE the
+    # next iteration's dynamic dangling mass — no per-iteration
+    # dangling-sum job.  The initial dynamic dangling count rides the
+    # init materialize the same way (all ranks equal 1/n, so the mass
+    # is n_dangling_dyn / n).
+    obs0 = Observation()
+    ranks = (
+        has_in.join(dangling_dyn.select("id", F.lit(1).alias("dang")), "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce("dang", F.lit(0)).alias("dang"),
+        )
+        .observe(obs0, F.sum("dang").alias("nd"))
+        .transform(materialize)
+    )
+    n_dangling_dyn = int(obs0.get["nd"] or 0)
+    n_dangling_flat = (n - n_out) - n_dangling_dyn
+    has_out.unpersist()
+    dmass_dyn = n_dangling_dyn / n
 
     n_iter = 0
     for it in range(max_iter):
         n_iter = it + 1
-        if n_dangling_dyn or n_dangling_flat:
-            dmass = n_dangling_flat * r_flat
-            if n_dangling_dyn:
-                dmass_row = (
-                    ranks.join(dangling_dyn, "id", "left_semi")
-                    .agg(F.sum("rank").alias("m"))
-                    .first()
-                )
-                dmass += float(dmass_row["m"] or 0.0)
-        else:
-            dmass = 0.0
-
+        dmass = n_dangling_flat * r_flat + dmass_dyn
         base = (1.0 - d) / n + d * dmass / n
         contribs = contrib_edges.join(
-            ranks, contrib_edges.src == ranks.id, "inner"
+            ranks.select(F.col("id").alias("src"), "rank"), "src", "inner"
         ).select(F.col("dst").alias("id"), (F.col("rank") * F.col("frac")).alias("c"))
         if n_flat:
             contribs = contribs.unionByName(
@@ -160,28 +186,46 @@ def pagerank(
         contribs = contribs.groupBy("id").agg(F.sum("c").alias("c"))
         # every has-in vertex receives ≥1 contribution row by
         # construction, so the aggregation output IS the new dynamic
-        # rank set — no vertices left join
-        new_ranks = contribs.select(
-            "id", (F.lit(base) + F.lit(d) * F.col("c")).alias("rank")
-        )
-        new_ranks = new_ranks.transform(materialize)
-
-        delta = None
-        if tol > 0.0:  # fixed-iteration runs skip the convergence job
-            delta_row = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-                .first()
+        # rank set — no vertices left join; joining the old state back
+        # in (vertex-sized) carries old_rank + dang so the convergence
+        # delta and next dangling mass ride the SAME job as observed
+        # metrics (ONE Spark job per iteration)
+        obs = Observation()
+        new_ranks = (
+            contribs.join(
+                ranks.select(
+                    "id", F.col("rank").alias("old_rank"), "dang"
+                ),
+                "id",
             )
-            delta = max(float(delta_row["d"] or 0.0), abs(base - r_flat))
+            .select(
+                "id",
+                (F.lit(base) + F.lit(d) * F.col("c")).alias("rank"),
+                "dang",
+                "old_rank",
+            )
+            .observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("dang") == 1, F.col("rank")).otherwise(F.lit(0.0))
+                ).alias("dmass"),
+            )
+            .select("id", "rank", "dang")
+            .transform(materialize)
+        )
+        vals = obs.get
+        delta = max(float(vals["delta"] or 0.0), abs(base - r_flat))
+        dmass_dyn = float(vals["dmass"] or 0.0)
         old = ranks
         ranks = new_ranks
         r_flat = base
         old.unpersist()
         if checkpointer is not None and (it + 1) % checkpoint_interval == 0:
-            ranks = checkpointer.save_state("pagerank_ranks", it, ranks)
-        if delta is not None and delta < tol:
+            reread = checkpointer.save_state("pagerank_ranks", it, ranks)
+            ranks.unpersist()
+            ranks = reread
+        if tol > 0.0 and delta < tol:
             break
 
     if checkpointer is not None:
@@ -198,5 +242,4 @@ def pagerank(
         flat_contrib.unpersist()
     has_in.unpersist()
     verts.unpersist()
-    dangling_dyn.unpersist()
     return out

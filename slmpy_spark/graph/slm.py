@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph import kernels
@@ -180,13 +180,15 @@ def _propose_moves(
     `move_frac` < 1 gates eligibility by a deterministic per-(id,
     sweep) hash — the damping knob for synchronous-update oscillation.
 
-    Returns (id, community, node_w, c_old, kic_cur, moved) for EVERY
-    vertex (ineligible / isolated vertices keep their label).  The
-    extra columns make the *pre-sweep* quality free to compute:
-    Σ_i kic_cur(i) is exactly the intra-community weight of the input
-    assignment, and groupBy(c_old) Σ node_w gives its Σtot — so the
-    caller's Q guard needs only ONE tiny vertex-sided aggregation over
-    this frame, no second edge scan (see _state_stats).
+    Returns (id, community, node_w, c_old, sigma_o, kic_cur, moved)
+    for EVERY vertex (ineligible / isolated vertices keep their
+    label).  The extra columns make the *pre-sweep* quality free as
+    FLAT sums (deliverable via DataFrame.observe on the materialize
+    action — zero extra jobs): Σ_i kic_cur(i) is exactly the
+    intra-community weight of the input assignment, and
+    Σ_i node_w_i·sigma_o(i) = Σ_c Σtot(c)² (sigma_o = the Σtot of i's
+    pre-sweep community), so the caller's Q guard needs NO aggregation
+    job at all (see _distributed_local_moving).
 
     Scale notes: the k_{i,c} aggregation is a hash groupBy(src, cand)
     with map-side partial combine — hub-degree skew never concentrates
@@ -274,13 +276,14 @@ def _propose_moves(
         F.coalesce(F.col("kic_cur"), F.lit(0.0)).alias("kic_cur"),
     )
     return (
-        state.alias("o")
+        state_x.alias("o")
         .join(hint(moves).alias("m"), "id", "left")
         .select(
             "id",
             F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
             F.col("o.node_w").alias("node_w"),
             F.col("o.community").alias("c_old"),
+            F.col("o.sigma").alias("sigma_o"),
             F.coalesce(F.col("m.kic_cur"), F.lit(0.0)).alias("kic_cur"),
             F.when(
                 F.coalesce(F.col("m.community"), F.col("o.community"))
@@ -293,33 +296,12 @@ def _propose_moves(
     )
 
 
-def _state_stats(prop: DataFrame, two_m: float, gamma: float, quality: str):
-    """(q_of_pre_sweep_assignment, n_moves) from a materialized
-    _propose_moves frame — ONE vertex-sized aggregation, no edge scan:
-    intra = Σ kic_cur, Σtot per community = groupBy(c_old) Σ node_w."""
-    r = (
-        prop.groupBy("c_old")
-        .agg(
-            F.sum("node_w").alias("sigma"),
-            F.sum("kic_cur").alias("ki"),
-            F.sum("moved").alias("mv"),
-        )
-        .agg(
-            F.sum(F.col("sigma") * F.col("sigma")).alias("s2"),
-            F.sum("ki").alias("intra"),
-            F.sum("mv").alias("moves"),
-        )
-        .first()
-    )
-    intra, s2 = float(r["intra"] or 0.0), float(r["s2"] or 0.0)
-    n_moves = int(r["moves"] or 0)
+def _q_of(intra: float, s2: float, two_m: float, gamma: float, quality: str) -> float:
     if two_m == 0:
-        return 0.0, n_moves
+        return 0.0
     if quality == "cpm":
-        q = (intra - gamma * s2) / two_m
-    else:
-        q = intra / two_m - gamma * s2 / (two_m * two_m)
-    return q, n_moves
+        return (intra - gamma * s2) / two_m
+    return intra / two_m - gamma * s2 / (two_m * two_m)
 
 
 def _assign_quality(
@@ -406,10 +388,13 @@ def _distributed_local_moving(
     toward the sequential regime; stops at n_moves == 0, `max_sweeps`,
     or `patience` consecutive rejections.
 
-    Per-sweep cost: 2 Spark jobs — the decision job (ONE edge scan into
-    the (src, cand) partial-agg + argmax, checkpointed) and one
-    vertex-sized stats aggregation.  Rejection wastes exactly one
-    speculative decision job (same cost as the old retry)."""
+    Per-sweep cost: ONE Spark job — the decision job (one edge scan
+    into the (src, cand) partial-agg + argmax, checkpointed); the
+    pre-sweep Q / move-count stats ride on that job as
+    `DataFrame.observe` flat sums (delivered by the localCheckpoint
+    action inside `materialize`, see util.materialize) — no separate
+    stats aggregation job.  Rejection wastes exactly one speculative
+    decision job (same cost as the old retry)."""
     if not bcast and not pre_partitioned:
         # huge-vertex-table path: pre-hash-partition the edge table by
         # dst ONCE and persist — every sweep's first join (dst →
@@ -447,17 +432,32 @@ def _distributed_local_moving(
 
     for sweep in range(max_sweeps):
         t0 = _time.time()
-        prop = _propose_moves(
-            sym, state, resolution2, seed, sweep, move_frac, bcast
-        ).transform(materialize)
+        obs = Observation()
+        prop = (
+            _propose_moves(sym, state, resolution2, seed, sweep, move_frac, bcast)
+            .observe(
+                obs,
+                F.sum("kic_cur").alias("intra"),
+                F.sum(F.col("node_w") * F.col("sigma_o")).alias("s2"),
+                F.sum("moved").alias("moves"),
+            )
+            .transform(materialize)
+        )
         t1 = _time.time()
         LAST_RUN_STATS["sweeps"] += 1
         LAST_RUN_STATS["edge_entries_swept"] += m_l
-        q_prev, n_moves = _state_stats(prop, two_m, gamma, quality)
+        # pre-sweep state's Q + this sweep's move count, observed on the
+        # materialize action itself — one Spark job per sweep, total
+        vals = obs.get
+        q_prev = _q_of(
+            float(vals["intra"] or 0.0), float(vals["s2"] or 0.0),
+            two_m, gamma, quality,
+        )
+        n_moves = int(vals["moves"] or 0)
         _dbg(
             f"level {level} sweep {sweep} frac={move_frac} "
             f"q(pre)={q_prev:.6f} moves={n_moves} "
-            f"propose={t1 - t0:.1f}s stats={_time.time() - t1:.1f}s"
+            f"job={t1 - t0:.1f}s"
         )
         if checkpointer is not None:
             checkpointer.log_metric(
@@ -624,8 +624,14 @@ def _split_communities(
         .select("src", "dst", "weight", "w_src", F.col("c_src").alias("community"))
         .persist()
     )
-    top_row = intra.groupBy("community").count().agg(F.max("count").alias("m")).first()
+    top_row = (
+        intra.groupBy("community")
+        .count()
+        .agg(F.max("count").alias("m"), F.sum("count").alias("tot"))
+        .first()
+    )
     top = int(top_row["m"] or 0)
+    intra_count = int(top_row["tot"] or 0)
 
     if top > giant_threshold:
         _dbg(f"split: giant community ({top} intra rows) → distributed split")
@@ -633,7 +639,7 @@ def _split_communities(
         out = _distributed_local_moving(
             intra.select("src", "dst", "weight"), node_w, singles,
             resolution2, seed ^ 0x5BD1E995, max_sweeps, gamma, quality,
-            True, two_m, bcast=bcast,
+            True, two_m, bcast=bcast, m_l=intra_count,
         )
         # labels are already canonical min-member ids; vertices with no
         # intra edges kept their singleton id — the kernel semantics
@@ -652,11 +658,16 @@ def _split_communities(
             .transform(materialize)
         )
     # parent map (subcommunity → step-a parent community) — the SLM
-    # §1.2(4c) warm start for the next level's initial clustering
+    # §1.2(4c) warm start for the next level's initial clustering.
+    # Materialized HERE, before the caller unpersists `assign` (the LM
+    # output): materialize()'s unpersist frees real checkpoint blocks
+    # now, so lazily holding a reference to `assign` past its free
+    # would be a use-after-free.
     parent_map = (
         out.join(assign.select("id", F.col("community").alias("parent")), "id")
         .select(F.col("community").alias("id"), F.col("parent").alias("community"))
         .distinct()
+        .transform(materialize)
     )
     intra.unpersist()
     return out, parent_map
@@ -679,6 +690,7 @@ def slm_scale(
     variant: str = "slm",
     resume: bool = False,
     n_iterations: int = 1,
+    n_random_starts: int = 1,
     broadcast_threshold: int = 250_000,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
@@ -689,6 +701,11 @@ def slm_scale(
     singletons), monotonically refining Q; stops early when a pass
     stops improving (the best pass's assignment is returned, so the
     reported q always matches the returned labels).
+
+    `n_random_starts`: G14's other axis — each start reruns the whole
+    pass chain from singletons under a start-specific seed offset; the
+    argmax-Q assignment over all starts/passes is returned (mirrors
+    exact mode's best-of-N restarts).
 
     `n_parts` is accepted for API compatibility but unused: the sweep
     is a Catalyst aggregation whose parallelism follows
@@ -719,44 +736,59 @@ def slm_scale(
         nw0 = degrees(sym0).select("id", F.col("w_deg").alias("node_w"))
     nw0 = nw0.transform(materialize)
 
-    flat = None
     best_q = None
     best_flat = None
-    for it in range(max(1, n_iterations)):
-        LAST_RUN_STATS["passes"] += 1
-        flat = _scale_pass(
-            sym0, nw0, two_m, resolution2, gamma, quality,
-            seed + 7919 * it, max_levels, max_sweeps,
-            exact_threshold, q_guard, variant, checkpointer,
-            step_offset=it * max_levels, init_flat=flat,
-            resume=(resume and it == 0),
-            broadcast_threshold=broadcast_threshold,
-        )
-        if variant == "louvain_refine":
-            # multilevel refinement (§1.2(3)): one more LM pass on the
-            # ORIGINAL graph from the merged-down labels; the guard
-            # keeps it monotone, so the pass can only improve Q
-            nv0 = nw0.count()
-            pre_refine = flat
-            flat = _distributed_local_moving(
-                sym0, nw0, flat, resolution2, seed + 7919 * it + max_levels,
-                max_sweeps, gamma, quality, q_guard, two_m,
-                checkpointer=checkpointer, level=max_levels,
-                bcast=(nv0 <= broadcast_threshold),
+    n_starts = max(1, n_random_starts)
+    n_iters = max(1, n_iterations)
+    for start in range(n_starts):
+        flat = None  # each start rebuilds the hierarchy from singletons
+        for it in range(n_iters):
+            LAST_RUN_STATS["passes"] += 1
+            pass_seed = seed + 7919 * it + 104_729 * start
+            prev = flat
+            flat = _scale_pass(
+                sym0, nw0, two_m, resolution2, gamma, quality,
+                pass_seed, max_levels, max_sweeps,
+                exact_threshold, q_guard, variant, checkpointer,
+                step_offset=(start * n_iters + it) * max_levels,
+                init_flat=prev,
+                resume=(resume and it == 0 and start == 0),
+                broadcast_threshold=broadcast_threshold,
             )
-            pre_refine.unpersist()
-        q = modularity(sym0, flat, gamma=gamma, quality=quality)
-        if best_q is not None and q <= best_q + 1e-9:
-            if flat is not best_flat:
+            if variant == "louvain_refine":
+                # multilevel refinement (§1.2(3)): one more LM pass on
+                # the ORIGINAL graph from the merged-down labels; the
+                # guard keeps it monotone, so the pass can only improve Q
+                nv0 = nw0.count()
+                pre_refine = flat
+                flat = _distributed_local_moving(
+                    sym0, nw0, flat, resolution2, pass_seed + max_levels,
+                    max_sweeps, gamma, quality, q_guard, two_m,
+                    checkpointer=checkpointer, level=max_levels,
+                    bcast=(nv0 <= broadcast_threshold),
+                )
+                pre_refine.unpersist()
+            q = modularity(sym0, flat, gamma=gamma, quality=quality)
+            _dbg(f"start {start} pass {it}: q={q:.6f} (best {best_q})")
+            old_best = best_flat
+            if best_q is None or q > best_q + 1e-9:
+                best_q, best_flat = q, flat
+                if old_best is not None:
+                    old_best.unpersist()
+                if prev is not None and prev is not old_best:
+                    prev.unpersist()
+            else:
+                # pass didn't improve the global best: free it and stop
+                # iterating this start (further passes chase a local
+                # optimum the best already beat)
+                if prev is not None and prev is not best_flat:
+                    prev.unpersist()
                 flat.unpersist()
-            flat = best_flat  # last pass didn't improve: return the best
-            q = best_q
-            break
-        best_q, best_flat = q, flat
+                break
 
     sym0.unpersist()
     nw0.unpersist()
-    return flat.select("id", "community"), best_q if best_q is not None else q
+    return best_flat.select("id", "community"), best_q
 
 
 def _scale_pass(
@@ -797,11 +829,17 @@ def _scale_pass(
         _dbg(f"level {level}: m={m_l}")
         if m_l <= exact_threshold:
             _dbg(f"level {level}: exact finish (m={m_l})")
+            warm = assign_l
             assign_l = _exact_finish(
                 sym_l, node_w_l, assign_l, resolution2, seed + level, variant
             )
+            if warm is not init_flat:
+                warm.unpersist()
             _dbg(f"level {level}: exact finish done")
+            prev_flat = flat
             flat = assign_l if flat is None else _merge_down(flat, assign_l)
+            if prev_flat is not None and prev_flat is not flat:
+                prev_flat.unpersist()
             break
 
         nv = node_w_l.count()
@@ -816,12 +854,19 @@ def _scale_pass(
             sym_j.count()
         else:
             sym_j = sym_l
+        warm = assign_l
         assign_l = _distributed_local_moving(
             sym_j, node_w_l, assign_l, resolution2, seed + level, max_sweeps,
             gamma, quality, q_guard, two_m,
             checkpointer=checkpointer, level=level, bcast=bcast, m_l=m_l,
             pre_partitioned=True,
         )
+        if warm is not init_flat:
+            # previous level's (materialized) warm-start map is consumed
+            # (LM materialized its own state) — free its blocks; no-op
+            # for the lazy singleton frame, never touches the caller's
+            # init_flat
+            warm.unpersist()
         _dbg(f"level {level}: LM done (bcast={bcast}), splitting")
         if checkpointer is not None:
             # per-partition lineage (north star / SURVEY §2.1): which
@@ -860,6 +905,8 @@ def _scale_pass(
         n_vertices, n_comms = nv, node_w_next.count()
         if n_comms >= n_vertices:
             node_w_next.unpersist()
+            if parent_map is not None:
+                parent_map.unpersist()  # materialized but never used
             if sym_j is not sym_l:
                 sym_j.unpersist()
             break  # nothing merged at this level → converged
@@ -879,7 +926,7 @@ def _scale_pass(
         # from singleton super-nodes
         _dbg(f"level {level}: aggregated, nv/nc={n_vertices}/{n_comms}")
         if parent_map is not None:
-            assign_l = parent_map.transform(materialize)
+            assign_l = parent_map  # already materialized by the split
         else:
             assign_l = node_w_l.select("id", F.col("id").alias("community"))
         if checkpointer is not None:
@@ -983,9 +1030,9 @@ def slm(
     mode: "exact" | "scale" | "auto" (exact when the graph is under
     `exact_threshold` directed-pair entries).
 
-    `n_iterations` applies to both modes; `n_random_starts` is
-    exact-only (scale mode's level-0 sweep is deterministic given the
-    seed, so restarts would duplicate work — use different seeds)."""
+    `n_iterations` and `n_random_starts` apply to both modes: scale
+    mode reruns the full pass chain per start under a per-start seed
+    offset and returns the argmax-Q assignment (G14)."""
     if mode == "auto":
         m = edges.count()
         mode = "exact" if 2 * m <= exact_threshold else "scale"
@@ -1008,5 +1055,6 @@ def slm(
         checkpointer=checkpointer,
         variant=variant,
         n_iterations=n_iterations,
+        n_random_starts=n_random_starts,
         **scale_kw,
     )

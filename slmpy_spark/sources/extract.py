@@ -131,7 +131,11 @@ def extract_links_frame(urls, htmls):
     out_l: list[str] = []
     if hits.empty:
         return pd.DataFrame({"url": out_u, "link": out_l})
-    href_raw = hits[1].fillna(hits[2]).fillna(hits[3])
+    # final .fillna(""): an empty href (<a href="">) leaves NaN in all
+    # three capture columns, and str(NaN) would fabricate a 'nan' link —
+    # the empty string instead hits the `if not href: continue` guard,
+    # matching per-page extract_links exactly
+    href_raw = hits[1].fillna(hits[2]).fillna(hits[3]).fillna("")
     base_for = urls.reindex(hits.index.get_level_values(0))
     self_norm_cache: dict[str, str | None] = {}
     for base, href in zip(base_for.to_numpy(), href_raw.to_numpy()):

@@ -90,7 +90,7 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_n: int = 3) -> Data
 
 def lsh_candidates(
     docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000, stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a, b) a<b via banded MinHash-LSH:
     docs sharing any band of k/bands consecutive minhashes collide.
@@ -100,7 +100,12 @@ def lsh_candidates(
     band value (e.g. millions of empty/boilerplate documents sharing a
     signature) would otherwise quadratically explode a 10^12-doc run.
     Docs in a dropped bucket still pair through their other bands;
-    truly identical texts belong to `exact_duplicates` anyway."""
+    truly identical texts belong to `exact_duplicates` anyway.
+    Pass ``max_bucket=None`` to disable the cap (full recall,
+    quadratic risk), or a ``stats`` dict to get the no-silent-caps
+    signal: it is filled with ``dropped_buckets`` / ``dropped_rows``
+    (one extra small aggregation job, only when requested), so dedup
+    pipelines can detect recall loss on pathological corpora."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k=k, shingle_n=shingle_n)
     banded = sig.select(
@@ -127,12 +132,12 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
-    ok = (
-        banded.groupBy("band", "bh")
-        .agg(F.count("*").alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select("band", "bh")
-    )
+    counts = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    keep = F.col("n") > 1
+    if max_bucket is not None:
+        keep = keep & (F.col("n") <= max_bucket)
+        _record_dropped(counts, max_bucket, stats)
+    ok = counts.where(keep).select("band", "bh")
     banded = banded.join(ok, ["band", "bh"], "left_semi")
     l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
@@ -181,6 +186,21 @@ def ngram_jaccard_pairs(
     )
 
 
+def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> None:
+    """No-silent-caps signal: when the caller passes a `stats` dict,
+    count the buckets/rows the `max_bucket` cap will drop (one small
+    aggregation job, opt-in) so recall loss is detectable."""
+    if stats is None:
+        return
+    r = (
+        counts.where(F.col("n") > max_bucket)
+        .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
+        .first()
+    )
+    stats["dropped_buckets"] = int(r["b"] or 0)
+    stats["dropped_rows"] = int(r["r"] or 0)
+
+
 # ------------------------------------------------------------ simhash
 
 
@@ -225,7 +245,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_candidates(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 10_000
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: bucket on each of the four 16-bit
     blocks (any pair within Hamming distance ≤ 3 of 64 bits shares at
@@ -233,7 +254,12 @@ def simhash_candidates(
     verify Hamming distance exactly. Returns (a, b, hamming).
 
     `max_bucket` bounds the per-block self-join like lsh_candidates —
-    a 16-bit block value shared by B docs emits O(B²) verify pairs."""
+    a 16-bit block value shared by B docs emits O(B²) verify pairs.
+    ``max_bucket=None`` disables the cap; a ``stats`` dict opts into
+    the dropped-bucket signal (see lsh_candidates) — note a
+    homogeneous >max_bucket near-dup cluster can saturate all four
+    blocks and lose pairs entirely, which is exactly what the signal
+    is for."""
     sig = simhash_signatures(docs).persist()
     blocks = sig.select(
         "doc_id",
@@ -252,12 +278,12 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.blk", "bb.bv")
-    ok = (
-        blocks.groupBy("blk", "bv")
-        .agg(F.count("*").alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select("blk", "bv")
-    )
+    counts = blocks.groupBy("blk", "bv").agg(F.count("*").alias("n"))
+    keep = F.col("n") > 1
+    if max_bucket is not None:
+        keep = keep & (F.col("n") <= max_bucket)
+        _record_dropped(counts, max_bucket, stats)
+    ok = counts.where(keep).select("blk", "bv")
     blocks = blocks.join(ok, ["blk", "bv"], "left_semi")
     l = blocks.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "blk", "bv"

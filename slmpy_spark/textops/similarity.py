@@ -151,23 +151,29 @@ def lsh_bucket_tables(
 
 def ann_topk(emb: DataFrame, k: int = 10, n_planes: int | None = None,
              n_queries: int = 5, n_tables: int = 8,
-             target_bucket: int = 256) -> DataFrame:
+             target_bucket: int = 256, corpus_n: int | None = None) -> DataFrame:
     """Banded multi-table hyperplane-LSH approximate top-k: a corpus
     vector is a candidate for a query iff they share the bucket of ANY
     of the `n_tables` independent tables; exact cosine ranks the
     candidate set.  Same output shape as cosine_topk (rank may hold
     fewer than k rows per query).
 
-    `n_planes` (bits per table) defaults to log2(N / target_bucket),
-    so the expected bucket size stays ~`target_bucket` at ANY corpus
-    scale — at 10^12 docs that is ~32 planes, not a near-cross-join;
-    recall is bought with `n_tables` (union of probes), the standard
-    banding trade (Indyk–Motwani / Manku et al.).  Candidate
+    `n_planes` (bits per table) defaults to ceil(log2(N /
+    target_bucket)), so the expected bucket size stays ~`target_bucket`
+    at ANY corpus scale — at 10^12 docs that is ~32 planes, not a
+    near-cross-join; recall is bought with `n_tables` (union of
+    probes), the standard banding trade (Indyk–Motwani / Manku et
+    al.).  Pass `corpus_n` (a known/cached corpus size) to avoid the
+    sizing count job, or pin `n_planes` directly.  Candidate
     generation is per-(table, bucket) equi-joins — never all-pairs;
     the union dedups on (query_id, vec_id) before the exact rank."""
     if n_planes is None:
-        n = emb.count()  # one cheap job; callers may pin n_planes instead
-        n_planes = max(2, min(30, int(n / max(1, target_bucket)).bit_length()))
+        import math
+
+        n = corpus_n if corpus_n is not None else emb.count()
+        n_planes = max(
+            2, min(30, math.ceil(math.log2(max(2.0, n / max(1, target_bucket)))))
+        )
     b = lsh_bucket_tables(emb, n_tables, n_planes)
     q = (
         emb.where(F.col("vec_id") < n_queries)

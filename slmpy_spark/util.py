@@ -26,22 +26,42 @@ def materialize(df: DataFrame) -> DataFrame:
     Fix: localCheckpoint (physical truncation), then rebuild the
     DataFrame directly over the checkpointed *internal* RDD —
     zero-copy, JVM-only — which resets stats to the constant default.
-    The rebuilt frame keeps a handle to the checkpoint so
-    ``.unpersist()`` frees the real blocks.  AQE picks
-    broadcast/shuffled joins from runtime sizes, so the default leaf
-    estimate costs nothing.  Durable truncation across restarts is the
-    Checkpointer's job (parquet/Iceberg snapshots).
+    AQE picks broadcast/shuffled joins from runtime sizes, so the
+    default leaf estimate costs nothing.  Durable truncation across
+    restarts is the Checkpointer's job (parquet/Iceberg snapshots).
+
+    ``.unpersist()`` on the returned frame unpersists the checkpointed
+    internal RDD itself (``LogicalRDD.rdd`` — Dataset.unpersist only
+    consults the CacheManager and would be a no-op on checkpoint
+    blocks).  Because the checkpoint truncated lineage, freed blocks
+    are NOT recomputable: callers must materialize every frame derived
+    from this one before unpersisting it.
+
+    Bonus: ``localCheckpoint(eager=True)`` is a tracked Dataset action
+    (``withAction``), so ``DataFrame.observe`` metrics attached below
+    this call are delivered by the materialization itself — iteration
+    loops fold their convergence/stats aggregations into the
+    checkpoint job instead of running a second job per step.
     """
     ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     try:
         jdf = ck._jdf
+        # the checkpointed RDD that owns the storage blocks
+        jrdd = jdf.queryExecution().analyzed().rdd()
         j2 = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         out = DataFrame(j2, spark)
     except Exception:  # non-classic sessions (connect): keep the ckpt
         return ck
-    # route unpersist to the checkpoint that owns the blocks
-    out.unpersist = ck.unpersist  # type: ignore[method-assign]
+
+    def _unpersist(blocking: bool = False) -> DataFrame:
+        try:
+            jrdd.unpersist(bool(blocking))
+        except Exception:
+            pass
+        return out
+
+    out.unpersist = _unpersist  # type: ignore[method-assign]
     return out

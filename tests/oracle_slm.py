@@ -185,22 +185,31 @@ def slm_oracle(und_edges, gamma=1.0, seed=0, n_iterations=3, extra_nodes=()):
     return cluster, modularity_oracle(und_edges, cluster, gamma)
 
 
-def pagerank_oracle(directed_edges, n_nodes=None, d=0.85, tol=1e-12, max_iter=500):
+def pagerank_oracle(
+    directed_edges, n_nodes=None, d=0.85, tol=1e-12, max_iter=500, weighted=False
+):
     """Dense numpy power iteration with uniform dangling redistribution.
-    Returns dict id→rank over vertices appearing in edges (or 0..n-1)."""
+    Returns dict id→rank over vertices appearing in edges (or 0..n-1).
+    `weighted=True`: contributions split by edge weight (w/out_w)
+    instead of uniformly (1/out_deg)."""
     nodes = sorted({u for u, v, _ in directed_edges} | {v for u, v, _ in directed_edges})
     if n_nodes is not None:
         nodes = sorted(set(nodes) | set(range(n_nodes)))
     idx = {u: i for i, u in enumerate(nodes)}
     n = len(nodes)
     out_deg = np.zeros(n)
-    for u, v, _ in directed_edges:
+    out_w = np.zeros(n)
+    for u, v, w in directed_edges:
         out_deg[idx[u]] += 1
+        out_w[idx[u]] += w
     r = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         contrib = np.zeros(n)
-        for u, v, _ in directed_edges:
-            contrib[idx[v]] += r[idx[u]] / out_deg[idx[u]]
+        for u, v, w in directed_edges:
+            if weighted:
+                contrib[idx[v]] += r[idx[u]] * w / out_w[idx[u]]
+            else:
+                contrib[idx[v]] += r[idx[u]] / out_deg[idx[u]]
         dangling = r[out_deg == 0].sum()
         r_new = (1 - d) / n + d * (contrib + dangling / n)
         if np.abs(r_new - r).max() < tol:
