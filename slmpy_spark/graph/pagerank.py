@@ -28,11 +28,13 @@ Scale notes (100 TB / 1000 executors):
 - lineage is truncated every iteration via localCheckpoint (or a
   Checkpointer) — without it Catalyst replans a k-join-deep tree at
   iteration k and driver planning time explodes.
-- **ONE Spark job per iteration**: the convergence delta (max |r'−r|,
-  via the old rank carried through the vertex-sized join) and the NEXT
-  iteration's dynamic dangling mass (Σ r' over dangling vertices, via
-  a `dang` flag riding on the rank state) are `DataFrame.observe`
-  metrics delivered by the materialize action itself — no separate
+- **ONE Spark job, ONE post-scan shuffle per iteration**: the old rank
+  state is unioned into the contribution aggregation as
+  zero-contribution rows (old_rank/dang non-null exactly once per id),
+  so there is no post-aggregation vertex join stage; the convergence
+  delta (max |r'−r|) and the NEXT iteration's dynamic dangling mass
+  (Σ r' over `dang` vertices) are `DataFrame.observe` metrics
+  delivered by the materialize action itself — no separate
   dangling-sum or delta jobs (they used to make it 3 jobs/iteration,
   and per-iteration job-submission latency is exactly the serial floor
   the N→4N scaling efficiency divides by).
@@ -172,33 +174,53 @@ def pagerank(
     dmass_dyn = n_dangling_dyn / n
 
     n_iter = 0
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
     for it in range(max_iter):
         n_iter = it + 1
         dmass = n_dangling_flat * r_flat + dmass_dyn
         base = (1.0 - d) / n + d * dmass / n
         contribs = contrib_edges.join(
             ranks.select(F.col("id").alias("src"), "rank"), "src", "inner"
-        ).select(F.col("dst").alias("id"), (F.col("rank") * F.col("frac")).alias("c"))
+        ).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") * F.col("frac")).alias("c"),
+            null_d.alias("old_rank"),
+            null_i.alias("dang"),
+        )
         if n_flat:
             contribs = contribs.unionByName(
-                flat_contrib.select("id", (F.lit(r_flat) * F.col("unit")).alias("c"))
+                flat_contrib.select(
+                    "id",
+                    (F.lit(r_flat) * F.col("unit")).alias("c"),
+                    null_d.alias("old_rank"),
+                    null_i.alias("dang"),
+                )
             )
-        contribs = contribs.groupBy("id").agg(F.sum("c").alias("c"))
-        # every has-in vertex receives ≥1 contribution row by
-        # construction, so the aggregation output IS the new dynamic
-        # rank set — no vertices left join; joining the old state back
-        # in (vertex-sized) carries old_rank + dang so the convergence
-        # delta and next dangling mass ride the SAME job as observed
-        # metrics (ONE Spark job per iteration)
+        # the old state rides INTO the aggregation as zero-contribution
+        # rows (old_rank/dang are each non-null exactly once per id), so
+        # the per-iteration plan is ONE edge-sized shuffle into the
+        # groupBy — no post-aggregation vertex join stage at all; every
+        # has-in vertex receives ≥1 contribution row by construction,
+        # so the aggregation output IS the new rank set.  The
+        # convergence delta and the next iteration's dynamic dangling
+        # mass ride the SAME job as observed metrics.
+        with_old = contribs.unionByName(
+            ranks.select(
+                "id",
+                F.lit(0.0).alias("c"),
+                F.col("rank").alias("old_rank"),
+                F.col("dang"),
+            )
+        )
+        agg = with_old.groupBy("id").agg(
+            F.sum("c").alias("c"),
+            F.max("old_rank").alias("old_rank"),
+            F.max("dang").alias("dang"),
+        )
         obs = Observation()
         new_ranks = (
-            contribs.join(
-                ranks.select(
-                    "id", F.col("rank").alias("old_rank"), "dang"
-                ),
-                "id",
-            )
-            .select(
+            agg.select(
                 "id",
                 (F.lit(base) + F.lit(d) * F.col("c")).alias("rank"),
                 "dang",

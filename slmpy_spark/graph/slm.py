@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph import kernels
@@ -150,6 +150,14 @@ def slm_exact(
 # ------------------------------------------------- scale mode: LM sweep
 
 
+def _with_sigma(state: DataFrame) -> DataFrame:
+    """Attach each vertex's community Σtot as a `sigma` column via an
+    unordered window sum — ONE exchange on community, no self-join, no
+    separate aggregate-then-join round trip."""
+    w = Window.partitionBy("community")
+    return state.withColumn("sigma", F.sum("node_w").over(w))
+
+
 def _propose_moves(
     sym: DataFrame,
     state: DataFrame,
@@ -161,9 +169,11 @@ def _propose_moves(
 ) -> DataFrame:
     """One synchronous local-moving sweep, entirely JVM-side.
 
-    `state`: (id, community, node_w) — the current assignment with node
-    weights riding along (so no per-sweep re-join against the degree
-    table).
+    `state`: (id, community, node_w, sigma) — the current assignment
+    with node weights AND the community Σtot riding along (sigma is
+    maintained across sweeps by this function's output via a window
+    sum, so no per-sweep Σtot aggregate+join round trip at all — the
+    r2 layout re-derived state⋈sigma three times per sweep).
 
     Semantics (mirrors kernels.local_moving against a snapshot):
     for every eligible vertex i with candidates C = {communities of
@@ -203,18 +213,10 @@ def _propose_moves(
     """
     hint = F.broadcast if bcast else _ident
 
-    sigma = state.groupBy("community").agg(F.sum("node_w").alias("sigma"))
-    # vertex state with its community's Σtot riding along (vertex-sized
-    # join; recomputed per use — both uses are cheap next to one
-    # kic-sized shuffle, which this layout avoids)
-    state_x = state.join(hint(sigma), "community").select(
-        "id", "community", "node_w", "sigma"
-    )
-
     kic = (
         sym.join(
             hint(
-                state_x.select(
+                state.select(
                     F.col("id").alias("dst"),
                     F.col("community").alias("cand"),
                     F.col("sigma").alias("sigma_cand"),
@@ -228,7 +230,7 @@ def _propose_moves(
     cand = (
         kic.join(
             hint(
-                state_x.select(
+                state.select(
                     F.col("id").alias("src"),
                     F.col("community").alias("c_src"),
                     F.col("node_w").alias("w_src"),
@@ -275,8 +277,8 @@ def _propose_moves(
         .alias("community"),
         F.coalesce(F.col("kic_cur"), F.lit(0.0)).alias("kic_cur"),
     )
-    return (
-        state_x.alias("o")
+    out = (
+        state.alias("o")
         .join(hint(moves).alias("m"), "id", "left")
         .select(
             "id",
@@ -294,6 +296,9 @@ def _propose_moves(
             .alias("moved"),
         )
     )
+    # maintain the NEW assignment's Σtot for the next sweep (window sum,
+    # one exchange) — checkpointed with the state
+    return _with_sigma(out)
 
 
 def _q_of(intra: float, s2: float, two_m: float, gamma: float, quality: str) -> float:
@@ -412,6 +417,7 @@ def _distributed_local_moving(
         assign.select("id", "community")
         .join(node_w, "id")
         .select("id", "community", "node_w")
+        .transform(_with_sigma)
         .transform(materialize)
     )
     best_state = state
