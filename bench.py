@@ -34,13 +34,42 @@ def get_spark(cpus: int) -> SparkSession:
     )
 
 
+def _loadavg_1m() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def _sentinel(spark: SparkSession, sf_dir: str) -> float:
+    """Code-FROZEN measurement sentinel (do not change across rounds):
+    one parquet scan + one shuffle + one aggregation whose plan never
+    depends on engine code.  Its wall time calibrates the host — when
+    the sentinel drifts between rounds, the drift is environment, not
+    code (the r2→r3 official numbers diverged 2.5× on host load alone
+    and could not defend themselves)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = (
+        df.select(F.xxhash64("doc_id").alias("h"), F.length("text").alias("l"))
+        .groupBy(F.pmod("h", F.lit(256)).alias("b"))
+        .agg(F.sum("l").alias("s"))
+    )
+    q.count()  # warm (JVM/codegen/file listing)
+    t0 = time.time()
+    q.count()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg_1m()
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    sentinel_sec = _sentinel(spark, sf_dir)
 
     from slmpy_spark import engine
     from slmpy_spark.sources.docs import documents_to_edges
@@ -115,6 +144,9 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_edges": n_edges,
+                "sentinel_sec": sentinel_sec,
+                "loadavg_1m_start": load_start,
+                "loadavg_1m_end": _loadavg_1m(),
                 **extras,
             }
         )

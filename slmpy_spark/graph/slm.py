@@ -150,12 +150,51 @@ def slm_exact(
 # ------------------------------------------------- scale mode: LM sweep
 
 
-def _with_sigma(state: DataFrame) -> DataFrame:
-    """Attach each vertex's community Σtot as a `sigma` column via an
-    unordered window sum — ONE exchange on community, no self-join, no
-    separate aggregate-then-join round trip."""
-    w = Window.partitionBy("community")
-    return state.withColumn("sigma", F.sum("node_w").over(w))
+def _attach_sigma(state: DataFrame, bcast: bool) -> DataFrame:
+    """Sigma (community Σtot) carriage strategy per mode (r4).
+
+    - **bcast levels** (vertex count under ``broadcast_threshold``):
+      sigma rides ON the state as a column, maintained by an unordered
+      window sum — one exchange, and at this size even a community
+      holding every vertex fits one task comfortably.
+
+    - **shuffle levels**: identity — sigma does NOT ride the state.
+      ``Window.partitionBy("community")`` buffers an ENTIRE community's
+      rows in one task, and late sweeps are exactly when communities
+      grow toward O(n): the window serializes the sweeps the scaling
+      gate measures.  Maintaining sigma by aggregate+join at the sweep's
+      OUTPUT instead double-computes the whole sweep subtree (the sig
+      branch's exchange is column-pruned differently from the probe's,
+      so exchange reuse cannot fire — measured: two full argmax
+      pipelines in the plan).  So shuffle-mode sweeps derive sigma
+      LAZILY from the materialized state leaf (see _lazy_sigma_state) —
+      a cheap re-scan of checkpoint blocks, not a recompute.
+    """
+    if bcast:
+        w = Window.partitionBy("community")
+        return state.withColumn("sigma", F.sum("node_w").over(w))
+    return state
+
+
+def _lazy_sigma_state(state: DataFrame) -> DataFrame:
+    """(id, community, sigma) view of a *materialized* shuffle-level
+    state, deriving sigma on the fly: a partial-combining
+    groupBy(community).sum (map-side combine → a hub community's rows
+    reduce before the shuffle; the exchange moves per-task partials,
+    not vertices) hash-joined back.  ``shuffle_hash``: build the tiny
+    one-row-per-community side and STREAM the probe partition — a
+    sort-merge join would sort the giant community's partition, and a
+    window would buffer it, both single-task stragglers at scale.
+
+    The sweep references this frame exactly twice (the dst-side
+    candidate projection and the zero-weight self rows), both pruned to
+    the same (id, community, sigma) columns — the join's two input
+    exchanges canonicalize identically across the references, so
+    exchange reuse computes them once.  `state` must be a materialize()
+    leaf: re-scanning it is reading checkpoint blocks, not recomputing
+    a plan."""
+    sig = state.groupBy("community").agg(F.sum("node_w").alias("sigma"))
+    return state.select("id", "community").join(sig.hint("shuffle_hash"), "community")
 
 
 def _propose_moves(
@@ -169,11 +208,12 @@ def _propose_moves(
 ) -> DataFrame:
     """One synchronous local-moving sweep, entirely JVM-side.
 
-    `state`: (id, community, node_w, sigma) — the current assignment
-    with node weights AND the community Σtot riding along (sigma is
-    maintained across sweeps by this function's output via a window
-    sum, so no per-sweep Σtot aggregate+join round trip at all — the
-    r2 layout re-derived state⋈sigma three times per sweep).
+    `state`: (id, community, node_w[, sigma]) — the current assignment
+    with node weights; at bcast levels the community Σtot rides along
+    as a window-maintained `sigma` column, at shuffle levels sigma is
+    derived lazily from the materialized state leaf per sweep
+    (_lazy_sigma_state — cheap block re-scan, skew-safe partial-combine
+    aggregation, no giant-community window).
 
     Semantics (mirrors kernels.local_moving against a snapshot):
     for every eligible vertex i with candidates C = {communities of
@@ -200,30 +240,63 @@ def _propose_moves(
     pre-sweep community), so the caller's Q guard needs NO aggregation
     job at all (see _distributed_local_moving).
 
+    Physical shape (r4 — pagerank's union-into-agg pattern): the state
+    is unioned into the k_{i,c} aggregation as one zero-weight
+    (id, own-community) row per vertex.  Adding 0.0 to a float sum is
+    bit-exact, so no k_{i,c} value changes — but every vertex is now
+    guaranteed a (src, c_src) group, which makes the argmax aggregation
+    COMPLETE over the vertex set: its output IS the next state.  The r3
+    layout instead joined the argmax output back onto the old state
+    (state ⋈ moves) to fill in vertices absent from kic — one whole
+    vertex-sided join stage per sweep, now gone.
+
     Scale notes: the k_{i,c} aggregation is a hash groupBy(src, cand)
     with map-side partial combine — hub-degree skew never concentrates
     on one reducer (SURVEY §5.3 salting, engine-provided).  With
     `bcast` every vertex-side input joins map-side; the edge table is
     scanned once with zero shuffle.  Without `bcast` (vertex table too
-    big to broadcast), Σtot rides ON the vertex state into both joins
-    (`sigma_cand` is constant per cand, so `first()` carries it through
-    the k_{i,c} aggregation) — the kic-sized intermediate is shuffled
-    exactly ONCE (the join on src, whose hash(src) layout the argmax
-    groupBy then reuses), instead of once per side table.
+    big to broadcast), Σtot enters the plan at exactly ONE place — the
+    dst-side candidate projection plus the self rows, both reading the
+    same lazily-derived (id, community, sigma) view (`sigma_cand` is
+    constant per cand, so `first()` carries it through the k_{i,c}
+    aggregation, and the argmax recovers sigma_src from the self row)
+    — the kic-sized intermediate is shuffled exactly ONCE (the join on
+    src, whose hash(src) layout the argmax groupBy then reuses),
+    instead of once per side table.
+
+    One deliberate semantic refinement vs r3: a vertex with NO edges at
+    this level (an all-self-loop supernode) that shares its warm-start
+    community with others now escapes to its own singleton when that
+    strictly improves Q (it pays the Σtot penalty while contributing
+    zero intra weight), instead of silently keeping its label — this
+    matches the sweep's own no-positive-gain escape semantics; a vertex
+    already alone keeps its label exactly as before.
     """
     hint = F.broadcast if bcast else _ident
+    # sigma source: rides the state at bcast levels; derived lazily
+    # from the materialized leaf at shuffle levels (see _lazy_sigma_state)
+    sws = state if bcast else _lazy_sigma_state(state)
 
+    base = sym.join(
+        hint(
+            sws.select(
+                F.col("id").alias("dst"),
+                F.col("community").alias("cand"),
+                F.col("sigma").alias("sigma_cand"),
+            )
+        ),
+        "dst",
+    ).select("src", "cand", "weight", "sigma_cand")
+    # zero-weight self rows: every vertex appears in its own current
+    # community's group (same sigma_cand the dst-side join would carry)
+    selfrows = sws.select(
+        F.col("id").alias("src"),
+        F.col("community").alias("cand"),
+        F.lit(0.0).alias("weight"),
+        F.col("sigma").alias("sigma_cand"),
+    )
     kic = (
-        sym.join(
-            hint(
-                state.select(
-                    F.col("id").alias("dst"),
-                    F.col("community").alias("cand"),
-                    F.col("sigma").alias("sigma_cand"),
-                )
-            ),
-            "dst",
-        )
+        base.unionByName(selfrows)
         .groupBy("src", "cand")
         .agg(F.sum("weight").alias("kic"), F.first("sigma_cand").alias("sigma_cand"))
     )
@@ -234,7 +307,6 @@ def _propose_moves(
                     F.col("id").alias("src"),
                     F.col("community").alias("c_src"),
                     F.col("node_w").alias("w_src"),
-                    F.col("sigma").alias("sigma_src"),
                 )
             ),
             "src",
@@ -251,16 +323,6 @@ def _propose_moves(
             * F.lit(resolution2),
         )
     )
-    # argmax gain per src; tie-break lowest community label via
-    # max(struct(gain, -cand)); c_src/w_src/sigma_src are constant per
-    # src; kic_cur = weight into the CURRENT community (≤1 row matches)
-    best = cand.groupBy("src").agg(
-        F.max(F.struct(F.col("gain").alias("g"), (-F.col("cand")).alias("nc"))).alias("b"),
-        F.max(F.when(F.col("cand") == F.col("c_src"), F.col("kic"))).alias("kic_cur"),
-        F.first("c_src").alias("c_src"),
-        F.first("w_src").alias("w_src"),
-        F.first("sigma_src").alias("sigma_src"),
-    )
     if move_frac < 1.0:
         # deterministic per-(id, sweep) eligibility hash in [0, 2^20)
         elig = F.pmod(
@@ -268,37 +330,40 @@ def _propose_moves(
         ) < F.lit(int(move_frac * (1 << 20)))
     else:
         elig = F.lit(True)
-    moves = best.select(
+    # argmax gain per src; tie-break lowest community label via
+    # max(struct(gain, -cand)); c_src/w_src are constant per src;
+    # kic_cur = weight into the CURRENT community and sigma_src = the
+    # current community's Σtot (exactly 1 row matches — the self row
+    # guarantees it exists; its gain to c_src is ≤ 0 when the vertex
+    # has no intra edges, so it never wins a move).  Every vertex has a
+    # group here, so this aggregation's output IS the complete next
+    # state — no join back onto the old state.
+    best = cand.groupBy("src").agg(
+        F.max(F.struct(F.col("gain").alias("g"), (-F.col("cand")).alias("nc"))).alias("b"),
+        F.max(F.when(F.col("cand") == F.col("c_src"), F.col("kic"))).alias("kic_cur"),
+        F.max(F.when(F.col("cand") == F.col("c_src"), F.col("sigma_cand"))).alias("sigma_src"),
+        F.first("c_src").alias("c_src"),
+        F.first("w_src").alias("w_src"),
+    )
+    out = best.select(
         F.col("src").alias("id"),
         F.when(~elig, F.col("c_src"))
         .when(F.col("b.g") > F.lit(0.0), -F.col("b.nc"))
         .when(F.col("sigma_src") > F.col("w_src"), -(F.col("src") + F.lit(1)))
         .otherwise(F.col("c_src"))
         .alias("community"),
+        F.col("w_src").alias("node_w"),
+        F.col("c_src").alias("c_old"),
+        F.col("sigma_src").alias("sigma_o"),
         F.coalesce(F.col("kic_cur"), F.lit(0.0)).alias("kic_cur"),
+    ).withColumn(
+        "moved",
+        F.when(F.col("community") != F.col("c_old"), F.lit(1)).otherwise(F.lit(0)),
     )
-    out = (
-        state.alias("o")
-        .join(hint(moves).alias("m"), "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("m.community"), F.col("o.community")).alias("community"),
-            F.col("o.node_w").alias("node_w"),
-            F.col("o.community").alias("c_old"),
-            F.col("o.sigma").alias("sigma_o"),
-            F.coalesce(F.col("m.kic_cur"), F.lit(0.0)).alias("kic_cur"),
-            F.when(
-                F.coalesce(F.col("m.community"), F.col("o.community"))
-                != F.col("o.community"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("moved"),
-        )
-    )
-    # maintain the NEW assignment's Σtot for the next sweep (window sum,
-    # one exchange) — checkpointed with the state
-    return _with_sigma(out)
+    # bcast levels: maintain the NEW assignment's Σtot on the state
+    # (window, trivially small); shuffle levels: identity — the next
+    # sweep derives sigma lazily from the materialized leaf
+    return _attach_sigma(out, bcast)
 
 
 def _q_of(intra: float, s2: float, two_m: float, gamma: float, quality: str) -> float:
@@ -413,12 +478,13 @@ def _distributed_local_moving(
         owned_sym = sym
     else:
         owned_sym = None
-    state = (
-        assign.select("id", "community")
-        .join(node_w, "id")
-        .select("id", "community", "node_w")
-        .transform(_with_sigma)
-        .transform(materialize)
+    state = materialize(
+        _attach_sigma(
+            assign.select("id", "community")
+            .join(node_w, "id")
+            .select("id", "community", "node_w"),
+            bcast,
+        )
     )
     best_state = state
     best_q = None
@@ -786,10 +852,13 @@ def slm_scale(
             else:
                 # pass didn't improve the global best: free it and stop
                 # iterating this start (further passes chase a local
-                # optimum the best already beat)
-                if prev is not None and prev is not best_flat:
+                # optimum the best already beat).  Identity guards: an
+                # empty-graph pass can return `prev` itself unchanged —
+                # never double-free or free the kept best.
+                if prev is not None and prev is not best_flat and prev is not flat:
                     prev.unpersist()
-                flat.unpersist()
+                if flat is not best_flat:
+                    flat.unpersist()
                 break
 
     sym0.unpersist()
@@ -839,7 +908,14 @@ def _scale_pass(
             assign_l = _exact_finish(
                 sym_l, node_w_l, assign_l, resolution2, seed + level, variant
             )
-            if warm is not init_flat:
+            # _exact_finish returns its INPUT unchanged when the level's
+            # supergraph is empty (every community absorbed all its
+            # edges → aggregate dropped them as self-loops): freeing
+            # `warm` then would free `assign_l` itself — materialize's
+            # unpersist frees real checkpoint blocks with no lineage to
+            # recompute from, so the merge-down below would abort with
+            # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+            if warm is not init_flat and warm is not assign_l:
                 warm.unpersist()
             _dbg(f"level {level}: exact finish done")
             prev_flat = flat
