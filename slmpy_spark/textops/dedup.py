@@ -104,8 +104,10 @@ def lsh_candidates(
     Pass ``max_bucket=None`` to disable the cap (full recall,
     quadratic risk), or a ``stats`` dict to get the no-silent-caps
     signal: it is filled with ``dropped_buckets`` / ``dropped_rows``
-    (one extra small aggregation job, only when requested), so dedup
-    pipelines can detect recall loss on pathological corpora."""
+    (the bucket-count table is persisted and shared between the stats
+    action and the main query — requesting stats does not recompute the
+    signature pipeline), so dedup pipelines can detect recall loss on
+    pathological corpora."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k=k, shingle_n=shingle_n)
     banded = sig.select(
@@ -136,7 +138,12 @@ def lsh_candidates(
     keep = F.col("n") > 1
     if max_bucket is not None:
         keep = keep & (F.col("n") <= max_bucket)
-        _record_dropped(counts, max_bucket, stats)
+        counts = _record_dropped(counts, max_bucket, stats)
+    elif stats is not None:
+        # cap disabled: nothing can be dropped — report that explicitly
+        # instead of leaving the opt-in dict silently unfilled
+        stats["dropped_buckets"] = 0
+        stats["dropped_rows"] = 0
     ok = counts.where(keep).select("band", "bh")
     banded = banded.join(ok, ["band", "bh"], "left_semi")
     l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
@@ -186,12 +193,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> None:
+def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> DataFrame:
     """No-silent-caps signal: when the caller passes a `stats` dict,
-    count the buckets/rows the `max_bucket` cap will drop (one small
-    aggregation job, opt-in) so recall loss is detectable."""
+    count the buckets/rows the `max_bucket` cap will drop, so recall
+    loss is detectable.  Returns the `counts` frame the caller should
+    keep using: the stats action would otherwise recompute the whole
+    signature/banding pipeline a second time, so `counts` is persisted
+    first and the action populates the cache the caller's main query
+    then reuses (the cache is bucket-table sized; it is released by
+    Spark's ContextCleaner when the frame goes out of scope, or evicted
+    LRU).  Without `stats`, `counts` is returned untouched — no extra
+    job, no cache."""
     if stats is None:
-        return
+        return counts
+    counts = counts.persist()
     r = (
         counts.where(F.col("n") > max_bucket)
         .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
@@ -199,6 +214,7 @@ def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> N
     )
     stats["dropped_buckets"] = int(r["b"] or 0)
     stats["dropped_rows"] = int(r["r"] or 0)
+    return counts
 
 
 # ------------------------------------------------------------ simhash
@@ -282,7 +298,10 @@ def simhash_candidates(
     keep = F.col("n") > 1
     if max_bucket is not None:
         keep = keep & (F.col("n") <= max_bucket)
-        _record_dropped(counts, max_bucket, stats)
+        counts = _record_dropped(counts, max_bucket, stats)
+    elif stats is not None:
+        stats["dropped_buckets"] = 0
+        stats["dropped_rows"] = 0
     ok = counts.where(keep).select("blk", "bv")
     blocks = blocks.join(ok, ["blk", "bv"], "left_semi")
     l = blocks.select(
