@@ -94,11 +94,13 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_nodes: int, m_target: int, op: str) -> dict:
+def run_level(
+    cpus: int, n_nodes: int, m_target: int, op: str, timeout: int = 3600
+) -> dict:
     env = dict(os.environ, SLMPY_REPO=REPO)
     proc = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), str(n_nodes), str(m_target), op],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -112,6 +114,10 @@ def main():
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ops", default="pagerank,slm")
+    ap.add_argument(
+        "--timeout", type=int, default=3600,
+        help="per-worker wall cap, seconds (the ~100M-edge point needs >3600 at 8 cores)",
+    )
     args = ap.parse_args()
 
     raw_path = os.path.join(HERE, "scaling_raw.jsonl")
@@ -127,7 +133,7 @@ def main():
             # efficiency by up to 2x vs a quiet-window probe)
             for rep in range(args.reps):
                 for cpus in (8, 32):
-                    rec = run_level(cpus, args.nodes, args.edges, op)
+                    rec = run_level(cpus, args.nodes, args.edges, op, args.timeout)
                     rec["rep"] = rep
                     raw.write(json.dumps(rec) + "\n")
                     raw.flush()
