@@ -1,27 +1,25 @@
 #!/usr/bin/env python
-"""Per-sweep Catalyst planning-time probe (VERDICT r3 #6).
+"""Localize the per-sweep 'optimization' second: which lazy
+QueryExecution stage actually costs it?
 
-The 10M-edge ladder decomposition attributed a ~2.6s/sweep serial
-floor to "driver job submission + Catalyst/AQE planning + stage
-waves" without splitting those.  Sweeps differ only in literals
-(seed/sweep/move_frac), so IF Catalyst planning were a material slice
-of the floor, caching/parameterizing the plan skeleton would pay.
+rule_time_probe.py showed Catalyst RULES execute in ~26ms/sweep while
+the tracker's optimization phase reports ~1000ms — so the time is in a
+non-rule step that runs under the phase: candidates are
+CacheManager.useCachedData (canonicalize + sameResult against every
+persisted plan — the sweep references the persisted edge cache and a
+checkpoint-rebuilt state), logical-plan stats estimation, or physical
+planning/codegen prep.  This probe forces each lazy val of one sweep
+frame's QueryExecution in dependency order and times the increments
+driver-side:
 
-This probe measures the slice directly: it mirrors the shuffle-mode
-sweep loop (`_propose_moves` + localCheckpoint, exactly the frames
-`_distributed_local_moving` materializes) and reads Spark's
-QueryPlanningTracker off each sweep frame's QueryExecution — the
-driver-side analysis / optimization / physical-planning milliseconds
-Catalyst actually spent, per sweep.  The remainder of the sweep wall
-is execution + scheduling + AQE runtime replanning (the tracker does
-not cover AQE's per-stage re-optimization; that slice is bounded
-separately by BENCH/aqe_probe.py's on/off delta).
+    analyzed -> commandExecuted -> optimizedPlan -> sparkPlan
+             -> executedPlan
 
-Decision rule (recorded in NOTES.md): adopt plan-reuse machinery only
-if tracker planning > 10% of the per-sweep floor.
+then materializes the frame (so the loop advances exactly like the
+real sweep) and repeats for n sweeps.
 
-Usage: python BENCH/floor_probe.py [--nodes 500000] [--edges 2000000]
-       [--sweeps 8] [--cpus 32]
+Usage: python BENCH/qe_stage_probe.py [--nodes 500000]
+       [--edges 2000000] [--sweeps 6] [--cpus 32]
 """
 
 from __future__ import annotations
@@ -59,7 +57,7 @@ s, d, w = g_powerlaw_arrays(n=n_nodes, m_target=m_target, seed=42)
 edges = (spark.createDataFrame(pd.DataFrame({"src": s, "dst": d, "weight": w}))
          .repartition(max(cpus, 8)).persist())
 edges.count()
-sym = materialize(engine.symmetrize(edges))  # leaf-based, as the engine builds it
+sym = engine.symmetrize(edges)
 node_w = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("node_w"))
 owned = sym.repartition("dst").persist()
 owned.count()
@@ -67,28 +65,21 @@ owned.count()
 state = materialize(_attach_sigma(
     node_w.select("id", F.col("id").alias("community"), "node_w"), False))
 
-def phases_ms(df):
-    out = {}
-    try:
-        it = df._jdf.queryExecution().tracker().phases().iterator()
-        while it.hasNext():
-            kv = it.next()
-            ps = kv._2()
-            out[str(kv._1())] = float(ps.endTimeMs() - ps.startTimeMs())
-    except Exception as e:
-        out["error"] = repr(e)
-    return out
-
 rows = []
 for sweep in range(n_sweeps):
     nf = _propose_moves(owned, state, 1e-4, seed=42, sweep=sweep,
                         move_frac=0.5 if sweep == 0 else 1.0, bcast=False)
+    qe = nf._jdf.queryExecution()
+    t = {}
+    t0 = time.time(); qe.analyzed(); t["analyzed"] = time.time() - t0
+    t0 = time.time(); qe.commandExecuted(); t["commandExecuted"] = time.time() - t0
+    t0 = time.time(); qe.optimizedPlan(); t["optimizedPlan"] = time.time() - t0
+    t0 = time.time(); qe.sparkPlan(); t["sparkPlan"] = time.time() - t0
+    t0 = time.time(); qe.executedPlan(); t["executedPlan"] = time.time() - t0
     t0 = time.time()
     nxt = materialize(nf)
-    wall = time.time() - t0
-    ph = phases_ms(nf)
-    rows.append({"sweep": sweep, "wall_s": round(wall, 3),
-                 **{k: round(v, 1) for k, v in ph.items()}})
+    t["materialize"] = time.time() - t0
+    rows.append({"sweep": sweep, **{k: round(v, 3) for k, v in t.items()}})
     old = state
     state = nxt
     old.unpersist()
@@ -101,7 +92,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=500_000)
     ap.add_argument("--edges", type=int, default=2_000_000)
-    ap.add_argument("--sweeps", type=int, default=8)
+    ap.add_argument("--sweeps", type=int, default=6)
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
     env = dict(os.environ, SLMPY_REPO=REPO)
@@ -115,20 +106,15 @@ def main():
         if line.startswith("RESULT "):
             rows = json.loads(line[len("RESULT "):])
     if rows is None:
-        raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
-    keys = sorted({k for r in rows for k in r} - {"sweep", "wall_s"})
-    print(f"| sweep | wall_s | {' | '.join(k + ' ms' for k in keys)} |")
-    print("| --- | --- |" + " --- |" * len(keys))
+        raise RuntimeError(proc.stdout[-3000:] + proc.stderr[-3000:])
+    keys = [k for k in rows[0] if k != "sweep"]
+    print("| sweep | " + " | ".join(f"{k} s" for k in keys) + " |")
+    print("| --- |" + " --- |" * len(keys))
     for r in rows:
-        cells = " | ".join(str(r.get(k, "")) for k in keys)
-        print(f"| {r['sweep']} | {r['wall_s']} | {cells} |")
-    # steady-state = skip sweep 0 (cold codegen/caches)
+        print(f"| {r['sweep']} | " + " | ".join(str(r[k]) for k in keys) + " |")
     ss = rows[1:] or rows
-    tot_plan = sum(sum(v for k, v in r.items() if k not in ("sweep", "wall_s"))
-                   for r in ss) / len(ss)
-    wall = sum(r["wall_s"] for r in ss) / len(ss)
-    print(f"\nsteady-state mean: wall {wall:.2f}s, tracker planning "
-          f"{tot_plan:.0f}ms ({100 * tot_plan / 1000 / wall:.0f}% of sweep wall)")
+    print("\nsteady-state means: " + ", ".join(
+        f"{k} {sum(r[k] for r in ss) / len(ss):.3f}s" for k in keys))
 
 
 if __name__ == "__main__":

@@ -39,7 +39,14 @@ def connected_components(
     # the edge table enters this layout once and never exchanges again —
     # only the vertex-sized label table shuffles per round (the same
     # iterative-join layout as pagerank's contrib_edges)
-    sym = symmetrize(edges).select("src", "dst").repartition("dst").persist()
+    # leaf-base the cache (checkpoint, then repartition+persist): the
+    # per-round CacheManager lookup and AQE replanning canonicalize the
+    # cached plan's embedded lineage every round — a leaf keeps that
+    # constant-time regardless of the caller's plan depth (measured for
+    # the SLM sweep, BENCH/qe_stage_probe.py).  The leaf outlives the
+    # cache (evicted cache partitions recompute from it).
+    sym_leaf = materialize(symmetrize(edges).select("src", "dst"))
+    sym = sym_leaf.repartition("dst").persist()
     verts = vertices(edges).persist()
     if verts.count() == 0:
         return spark.createDataFrame([], "id long, component long")
@@ -91,5 +98,6 @@ def connected_components(
             break
 
     sym.unpersist()
+    sym_leaf.unpersist()  # after the cache built over it is gone
     verts.unpersist()
     return labels.select("id", "component")

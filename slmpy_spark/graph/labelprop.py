@@ -31,8 +31,13 @@ def label_propagation(
     """Returns assign(id long, label long) after `max_iter` synchronous
     rounds (early-exits when no label changes)."""
     # pre-hash-partitioned on the per-round join key (dst) and cached,
-    # so only the vertex-sized label table shuffles per round
-    sym = symmetrize(edges).repartition("dst").persist()
+    # so only the vertex-sized label table shuffles per round.  The
+    # cache sits over a checkpoint LEAF so the per-round CacheManager
+    # lookup / AQE replanning canonicalize a constant-size plan, not
+    # the caller's lineage (see components.py; the leaf outlives the
+    # cache — evicted cache partitions recompute from it).
+    sym_leaf = materialize(symmetrize(edges))
+    sym = sym_leaf.repartition("dst").persist()
     verts = vertices(edges).persist()
 
     labels = verts.select("id", F.col("id").alias("label"))
@@ -61,6 +66,7 @@ def label_propagation(
             break
 
     sym.unpersist()
+    sym_leaf.unpersist()  # after the cache built over it is gone
     verts.unpersist()
     return labels.select("id", "label")
 

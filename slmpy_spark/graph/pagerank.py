@@ -110,35 +110,41 @@ def pagerank(
         (F.col("weight") / F.col("out_w")) if weighted
         else (F.lit(1.0) / F.col("out_deg"))
     ).alias("frac")
+    # The contribution base is a checkpoint LEAF, not a persist: the
+    # per-iteration CacheManager lookup and AQE replanning canonicalize
+    # contrib_edges' embedded plan every iteration, and with the raw
+    # edge lineage embedded (edges appears three times via src_info)
+    # that is ~1s/iteration of driver-side planning at any data size
+    # (measured for the SLM sweep, BENCH/qe_stage_probe.py) — leafing
+    # the base collapses it to scan-over-LogicalRDD.  The leaf must
+    # outlive the cache built over it (evicted cache partitions
+    # recompute from it, and checkpoint blocks have no lineage), so it
+    # is freed at the end instead of right after cache population.
     if n_flat:
-        all_contrib = edges.join(src_info, "src").select(
-            "src", "dst", frac_expr, "dyn"
-        ).persist()
+        contrib_leaf = materialize(
+            edges.join(src_info, "src").select("src", "dst", frac_expr, "dyn")
+        )
         contrib_edges = (
-            all_contrib.where("dyn")
+            contrib_leaf.where("dyn")
             .select("src", "dst", "frac")
             .repartition(n_parts, "src")
             .persist()
         )
         contrib_edges.count()  # materialize
         flat_contrib = (
-            all_contrib.where(~F.col("dyn"))
+            contrib_leaf.where(~F.col("dyn"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("frac").alias("unit"))
-            .persist()
+            .transform(materialize)
         )
-        flat_contrib.count()
-        all_contrib.unpersist()
     else:
         # every vertex has in-edges → the aggregation output already
         # covers them all; no static split, same job count as the
         # plain formulation
-        contrib_edges = (
-            edges.join(src_info, "src")
-            .select("src", "dst", frac_expr)
-            .repartition(n_parts, "src")
-            .persist()
+        contrib_leaf = materialize(
+            edges.join(src_info, "src").select("src", "dst", frac_expr)
         )
+        contrib_edges = contrib_leaf.repartition(n_parts, "src").persist()
         contrib_edges.count()
         flat_contrib = None
 
@@ -262,6 +268,7 @@ def pagerank(
     contrib_edges.unpersist()
     if flat_contrib is not None:
         flat_contrib.unpersist()
+    contrib_leaf.unpersist()  # after the cache built over it is gone
     has_in.unpersist()
     verts.unpersist()
     return out

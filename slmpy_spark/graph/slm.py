@@ -61,7 +61,7 @@ from slmpy_spark.graph import kernels
 from slmpy_spark.graph.aggregate import aggregate_graph
 from slmpy_spark.graph.edges import degrees, symmetrize, total_weight, vertices
 from slmpy_spark.graph.modularity import modularity
-from slmpy_spark.util import materialize
+from slmpy_spark.util import is_plan_leaf, materialize
 
 ASSIGN_SCHEMA = "id long, community long"
 
@@ -473,10 +473,20 @@ def _distributed_local_moving(
         # iterative-join trick as pagerank's contrib_edges).  In the
         # level loop the CALLER owns this cache (pre_partitioned=True)
         # so the split and aggregation phases reuse it too.
-        sym = sym.repartition("dst").persist()
+        # leaf-base the cache: the per-sweep CacheManager lookup and AQE
+        # replanning canonicalize the cached plan's embedded lineage
+        # every sweep — a checkpoint leaf under the repartition keeps
+        # that constant-time (see slm_scale's sym0 note).  The leaf must
+        # stay alive as long as the cache does (evicted cache partitions
+        # recompute from it, and checkpoint blocks have no lineage).
+        owned_leaf = None if is_plan_leaf(sym) else materialize(sym)
+        sym = (owned_leaf if owned_leaf is not None else sym).repartition(
+            "dst"
+        ).persist()
         sym.count()
         owned_sym = sym
     else:
+        owned_leaf = None
         owned_sym = None
     state = materialize(
         _attach_sigma(
@@ -594,6 +604,8 @@ def _distributed_local_moving(
     best_state.unpersist()
     if owned_sym is not None:
         owned_sym.unpersist()
+    if owned_leaf is not None:
+        owned_leaf.unpersist()  # after the cache built over it is gone
     return assign_out
 
 
@@ -798,7 +810,16 @@ def slm_scale(
     spark = edges.sparkSession
     LAST_RUN_STATS.update(sweeps=0, levels=0, passes=0, edge_entries_swept=0)
 
-    sym0 = symmetrize(edges).persist()
+    # materialize (checkpoint leaf), NOT persist: every level-0 sweep's
+    # plan embeds the edge cache's lineage at each reference, and
+    # CacheManager.useCachedData + AQE replanning canonicalize those
+    # embedded trees per sweep — measured ~1.0s/sweep of driver-side
+    # 'optimization' phase against ~26ms of actual rule execution when
+    # sym0 carries the caller's full lineage (BENCH/qe_stage_probe.py:
+    # 1.06s → 0.085s with a leaf).  A leaf costs one checkpoint job up
+    # front (same price as persist+count) and collapses every
+    # downstream cache's embedded plan to scan-over-LogicalRDD.
+    sym0 = materialize(symmetrize(edges))
     two_m = total_weight(sym0)
     if quality == "cpm":
         resolution2 = gamma

@@ -5,6 +5,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def is_plan_leaf(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is already a single leaf
+    (a materialize() LogicalRDD or a plain relation scan) — callers use
+    this to skip re-checkpointing an already-materialized input."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        name = plan.getClass().getSimpleName()
+        return plan.children().isEmpty() and name in (
+            "LogicalRDD",
+            "LogicalRelation",
+        )
+    except Exception:
+        return False
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Physically truncate an iteration-state DataFrame's lineage AND
     its inherited size statistics.
