@@ -155,11 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the composed 100TB dedup path end-to-end: LSH candidate pairs
         # → exact Jaccard verify restricted to them (rows-only: the
-        # candidate set is minhash-dependent, so no portable SQL twin)
-        "dedup_verified": lambda spark, sf: dedup.ngram_jaccard_pairs(
-            _docs(spark, sf),
-            threshold=0.2,
-            candidates=dedup.lsh_candidates(_docs(spark, sf), k=32, bands=16),
+        # candidate set is minhash-dependent, so no portable SQL twin).
+        # FUSED: one shared shingle computation across both stages
+        "dedup_verified": lambda spark, sf: dedup.verified_pairs(
+            _docs(spark, sf), threshold=0.2, k=32, bands=16
         ),
         "simhash_signatures": lambda spark, sf: dedup.simhash_signatures(
             _docs(spark, sf)

@@ -61,11 +61,34 @@ def _sentinel(spark: SparkSession, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _wait_for_quiet(threshold: float, max_wait: float, poll: float = 15.0) -> float:
+    """Refuse-to-measure-under-load guard: the r3/r4 official records
+    were taken at loadavg 8-9 on a 32-CPU host and ran 1.5-2.5× slower
+    than quiet-phase re-runs of the same code.  Wait (bounded) for the
+    1-minute load to drop below `threshold` before starting the
+    timed section; if it never does, proceed — the JSON carries
+    loadavg_1m_start and load_warning so the record is self-indicting."""
+    t0 = time.time()
+    load = _loadavg_1m()
+    while load > threshold and time.time() - t0 < max_wait:
+        print(
+            f"[bench] host busy (loadavg {load:.2f} > {threshold:g}); "
+            f"waiting up to {int(max_wait - (time.time() - t0))}s for a "
+            "quiet phase...",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(poll)
+        load = _loadavg_1m()
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    load_start = _loadavg_1m()
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+    load_start = _wait_for_quiet(load_max, load_wait)
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,6 +170,7 @@ def main() -> None:
                 "sentinel_sec": sentinel_sec,
                 "loadavg_1m_start": load_start,
                 "loadavg_1m_end": _loadavg_1m(),
+                "load_warning": load_start > load_max,
                 **extras,
             }
         )

@@ -156,7 +156,12 @@ class Checkpointer:
             from pyspark.sql import functions as F
 
             base, ts = self._metrics_seq, time.time()
-            seq = (F.lit(base) + F.col("partition_id")).cast("long")
+            # clamp: the mapInPandas fallback emits partition_id = -1
+            # when TaskContext is absent, and base - 1 would collide
+            # with the previous metric row's seq (metrics() sorts by it)
+            seq = (
+                F.lit(base) + F.greatest(F.col("partition_id"), F.lit(0))
+            ).cast("long")
             payload = F.to_json(
                 F.struct(
                     F.lit(self.run_id).alias("run_id"),

@@ -31,9 +31,14 @@ from slmpy_spark.util import materialize
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpointer=None
+    edges: DataFrame, max_iter: int = 50, checkpointer=None,
+    leaf_cache: bool = True,
 ) -> DataFrame:
-    """Exact undirected connected components. Returns (id, component)."""
+    """Exact undirected connected components. Returns (id, component).
+
+    `leaf_cache=False` skips the checkpoint leaf under the edge cache
+    (saves its fixed block-write job on small inputs — the A/B toggle,
+    BENCH/ab_leaf_small.py)."""
     spark = edges.sparkSession
     # pre-hash-partitioned on the per-round join key (dst) and cached:
     # the edge table enters this layout once and never exchanges again —
@@ -45,11 +50,14 @@ def connected_components(
     # constant-time regardless of the caller's plan depth (measured for
     # the SLM sweep, BENCH/qe_stage_probe.py).  The leaf outlives the
     # cache (evicted cache partitions recompute from it).
-    sym_leaf = materialize(symmetrize(edges).select("src", "dst"))
-    sym = sym_leaf.repartition("dst").persist()
     verts = vertices(edges).persist()
     if verts.count() == 0:
+        # before any leaf/cache is built — nothing to leak on this path
+        verts.unpersist()
         return spark.createDataFrame([], "id long, component long")
+    sym_base = symmetrize(edges).select("src", "dst")
+    sym_leaf = materialize(sym_base) if leaf_cache else sym_base
+    sym = sym_leaf.repartition("dst").persist()
 
     labels = verts.select("id", F.col("id").alias("component"))
     labels = labels.transform(materialize)
@@ -98,6 +106,7 @@ def connected_components(
             break
 
     sym.unpersist()
-    sym_leaf.unpersist()  # after the cache built over it is gone
+    # after the cache built over it is gone; no-op when leaf_cache=False
+    sym_leaf.unpersist()
     verts.unpersist()
     return labels.select("id", "component")

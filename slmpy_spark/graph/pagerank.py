@@ -57,6 +57,7 @@ def pagerank(
     checkpoint_interval: int = 5,
     checkpointer=None,
     weighted: bool = False,
+    leaf_cache: bool = True,
 ) -> DataFrame:
     """Return ranks(id long, rank double), Σ rank = 1.
 
@@ -68,6 +69,12 @@ def pagerank(
     `checkpointer`: optional slmpy_spark.checkpoint.Checkpointer; when
     given, per-iteration state is persisted (resumable); otherwise
     localCheckpoint truncates lineage in-memory.
+
+    `leaf_cache`: build the per-iteration contribution cache over a
+    checkpoint leaf (constant-time per-iteration planning — the r4
+    CacheManager-canonicalization fix, a measured win at ≥10M edges).
+    False skips the leaf's fixed checkpoint job — the A/B toggle for
+    small inputs (BENCH/ab_leaf_small.py).
     """
     spark = edges.sparkSession
 
@@ -120,8 +127,9 @@ def pagerank(
     # outlive the cache built over it (evicted cache partitions
     # recompute from it, and checkpoint blocks have no lineage), so it
     # is freed at the end instead of right after cache population.
+    _leaf = materialize if leaf_cache else (lambda f: f)
     if n_flat:
-        contrib_leaf = materialize(
+        contrib_leaf = _leaf(
             edges.join(src_info, "src").select("src", "dst", frac_expr, "dyn")
         )
         contrib_edges = (
@@ -141,7 +149,7 @@ def pagerank(
         # every vertex has in-edges → the aggregation output already
         # covers them all; no static split, same job count as the
         # plain formulation
-        contrib_leaf = materialize(
+        contrib_leaf = _leaf(
             edges.join(src_info, "src").select("src", "dst", frac_expr)
         )
         contrib_edges = contrib_leaf.repartition(n_parts, "src").persist()
@@ -268,7 +276,8 @@ def pagerank(
     contrib_edges.unpersist()
     if flat_contrib is not None:
         flat_contrib.unpersist()
-    contrib_leaf.unpersist()  # after the cache built over it is gone
+    # after the cache built over it is gone; no-op when leaf_cache=False
+    contrib_leaf.unpersist()
     has_in.unpersist()
     verts.unpersist()
     return out

@@ -860,7 +860,17 @@ def slm_scale(
                     checkpointer=checkpointer, level=max_levels,
                     bcast=(nv0 <= broadcast_threshold),
                 )
-                pre_refine.unpersist()
+                # identity guards (same rule as the best/prev frees
+                # below): an empty-graph _scale_pass can return its
+                # init_flat/warm-start unchanged, so pre_refine may BE
+                # prev or best_flat — freeing it would drop checkpoint
+                # blocks that have no lineage to recompute from
+                if (
+                    pre_refine is not prev
+                    and pre_refine is not best_flat
+                    and pre_refine is not flat
+                ):
+                    pre_refine.unpersist()
             q = modularity(sym0, flat, gamma=gamma, quality=quality)
             _dbg(f"start {start} pass {it}: q={q:.6f} (best {best_q})")
             old_best = best_flat

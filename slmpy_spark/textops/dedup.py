@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from slmpy_spark.util import materialize
+
 # Mersenne prime 2^31-1 for minhash permutations: keeps every product
 # a_i * hx + b_i under 2^38, far from int64 overflow (Spark 4 runs
 # ANSI mode — overflow is an error, not a wrap)
@@ -65,12 +67,21 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.distinct()
 
 
-def minhash_signatures(docs: DataFrame, k: int = 32, shingle_n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig array<long>): k minhash values over word-shingle
     sets.  h_i(x) = (a_i * xxhash64(x) + b_i) mod M with deterministic
     (a_i, b_i); min per doc per i — all built-in expressions
-    (explode + groupBy(min)), no Python."""
-    sh = _shingles(docs, shingle_n).select(
+    (explode + groupBy(min)), no Python.
+
+    `shingles`: optional precomputed `_shingles(docs, shingle_n)` frame
+    (e.g. persisted and shared with a verify stage — see
+    `verified_pairs`); `shingle_n` is ignored when given."""
+    sh = (
+        shingles if shingles is not None else _shingles(docs, shingle_n)
+    ).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("hx")
     )
     mins = [
@@ -91,6 +102,7 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_n: int = 3) -> Data
 def lsh_candidates(
     docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3,
     max_bucket: int | None = 10_000, stats: dict | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a, b) a<b via banded MinHash-LSH:
     docs sharing any band of k/bands consecutive minhashes collide.
@@ -109,7 +121,7 @@ def lsh_candidates(
     signature pipeline), so dedup pipelines can detect recall loss on
     pathological corpora."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k=k, shingle_n=shingle_n)
+    sig = minhash_signatures(docs, k=k, shingle_n=shingle_n, shingles=shingles)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -145,6 +157,12 @@ def lsh_candidates(
         stats["dropped_buckets"] = 0
         stats["dropped_rows"] = 0
     ok = counts.where(keep).select("band", "bh")
+    if stats is not None and max_bucket is not None:
+        # _record_dropped persisted `counts` for the stats action: pin
+        # the (much smaller) surviving-bucket list and free the full
+        # bucket table NOW — explicit, not left to ContextCleaner LRU
+        ok = materialize(ok)
+        counts.unpersist()
     banded = banded.join(ok, ["band", "bh"], "left_semi")
     l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
@@ -159,13 +177,15 @@ def lsh_candidates(
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard similarity pairs (a, b, jaccard ≥
     threshold, a<b).  With `candidates` (e.g. from lsh_candidates) the
     intersection join is restricted to those pairs — the verify stage;
     without, it's the exact small-scale oracle (all co-shingled pairs).
+    `shingles` shares a precomputed shingle frame (see verified_pairs).
     """
-    sh = _shingles(docs, shingle_n)
+    sh = shingles if shingles is not None else _shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     l = sh.select(F.col("doc_id").alias("a"), "shingle")
     r = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -193,6 +213,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def verified_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 32, bands: int = 8,
+    shingle_n: int = 3, max_bucket: int | None = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The composed 100 TB dedup path, end-to-end and FUSED:
+    MinHash-LSH candidate pairs → exact Jaccard verify restricted to
+    them — sharing ONE shingle computation between the two stages.
+
+    Calling ``lsh_candidates`` and ``ngram_jaccard_pairs`` separately
+    re-reads and re-shingles the corpus twice (fine at sf0.01; at
+    100 TB the shingle explode is the dominant scan).  Here the shingle
+    frame is persisted once, the candidate set is pinned via
+    ``materialize`` (its minhash/banding lineage would otherwise be
+    recomputed per consuming stage), and the verify runs from the same
+    shingle cache.  The result is returned MATERIALIZED (it is
+    pair-sized — tiny relative to the corpus) so every intermediate can
+    be freed deterministically before returning; per
+    ``util.materialize``, derived frames are pinned before parents are
+    unpersisted."""
+    sh = _shingles(docs, shingle_n).persist()
+    cand = materialize(
+        lsh_candidates(
+            docs, k=k, bands=bands, max_bucket=max_bucket, stats=stats,
+            shingles=sh,
+        )
+    )
+    out = materialize(
+        ngram_jaccard_pairs(
+            docs, threshold=threshold, candidates=cand, shingles=sh
+        )
+    )
+    cand.unpersist()
+    sh.unpersist()
+    return out
+
+
 def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> DataFrame:
     """No-silent-caps signal: when the caller passes a `stats` dict,
     count the buckets/rows the `max_bucket` cap will drop, so recall
@@ -200,10 +257,10 @@ def _record_dropped(counts: DataFrame, max_bucket: int, stats: dict | None) -> D
     keep using: the stats action would otherwise recompute the whole
     signature/banding pipeline a second time, so `counts` is persisted
     first and the action populates the cache the caller's main query
-    then reuses (the cache is bucket-table sized; it is released by
-    Spark's ContextCleaner when the frame goes out of scope, or evicted
-    LRU).  Without `stats`, `counts` is returned untouched — no extra
-    job, no cache."""
+    then reuses (the caller unpersists it explicitly once the
+    surviving-bucket list is pinned — no reliance on ContextCleaner).
+    Without `stats`, `counts` is returned untouched — no extra job,
+    no cache."""
     if stats is None:
         return counts
     counts = counts.persist()
@@ -303,6 +360,11 @@ def simhash_candidates(
         stats["dropped_buckets"] = 0
         stats["dropped_rows"] = 0
     ok = counts.where(keep).select("blk", "bv")
+    if stats is not None and max_bucket is not None:
+        # same as lsh_candidates: free the persisted bucket table
+        # explicitly once the surviving-bucket list is pinned
+        ok = materialize(ok)
+        counts.unpersist()
     blocks = blocks.join(ok, ["blk", "bv"], "left_semi")
     l = blocks.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "blk", "bv"
