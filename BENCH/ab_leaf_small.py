@@ -62,9 +62,13 @@ def main():
 
     edges = documents_to_edges(spark, args.sf_dir).persist()
     m = edges.count()
-    # warm-up through the whole stack once per arm shape
-    pagerank(edges, tol=0.0, max_iter=2, leaf_cache=True).count()
-    pagerank(edges, tol=0.0, max_iter=2, leaf_cache=False).count()
+    # warm-up through the whole stack once per (query, arm) cell —
+    # the first pass through each code path pays JIT + codegen +
+    # checkpoint-dir setup that would otherwise land entirely on rep 0
+    # of one arm and skew its median
+    for leaf in (True, False):
+        pagerank(edges, tol=0.0, max_iter=3, leaf_cache=leaf).count()
+        connected_components(edges, leaf_cache=leaf).count()
 
     results: dict[tuple[str, bool], list[float]] = {}
     for rep in range(args.reps):
