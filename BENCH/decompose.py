@@ -62,6 +62,9 @@ spark.stop()
 SWEEP_RE = re.compile(
     r"level (\d+) sweep (\d+) frac=[\d.]+ q\(pre\)=[-\d.]+ moves=\d+ job=([\d.]+)s"
 )
+# non-sweep phase lines emitted by slm._phase (r5): attribute the
+# opaque "non-sweep" bucket per phase
+PHASE_RE = re.compile(r"phase level=(-?\d+) name=(\S+) secs=([\d.]+)")
 
 
 def run(cpus: int, nodes: int, edges: int):
@@ -80,9 +83,12 @@ def run(cpus: int, nodes: int, edges: int):
         lvl = int(m.group(1))
         sweep_secs[lvl] += float(m.group(3))
         sweep_n[lvl] += 1
+    phase_secs = defaultdict(float)
+    for m in PHASE_RE.finditer(proc.stderr):
+        phase_secs[m.group(2)] += float(m.group(3))
     if total is None:
         raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
-    return total, dict(sweep_secs), dict(sweep_n)
+    return total, dict(sweep_secs), dict(sweep_n), dict(phase_secs)
 
 
 def main():
@@ -91,8 +97,8 @@ def main():
     ap.add_argument("--edges", type=int, default=10_000_000)
     args = ap.parse_args()
 
-    t8, s8, n8 = run(8, args.nodes, args.edges)
-    t32, s32, n32 = run(32, args.nodes, args.edges)
+    t8, s8, n8, p8 = run(8, args.nodes, args.edges)
+    t32, s32, n32, p32 = run(32, args.nodes, args.edges)
 
     lines = [
         "",
@@ -129,6 +135,16 @@ def main():
         )
     row("non-sweep (split+aggregate+exact finish+driver)",
         t8["secs"] - sweeps8, t32["secs"] - sweeps32)
+    # per-phase attribution of the non-sweep bucket (slm._phase lines,
+    # summed over levels/passes).  Note: split_distributed (giant-path
+    # split) CONTAINS nested LM sweep jobs already counted above —
+    # it is zero on graphs where the kernel split path runs.
+    for name in sorted(set(p8) | set(p32)):
+        row(f"  phase {name}", p8.get(name, 0.0), p32.get(name, 0.0))
+    instr8 = sum(p8.values()) + sweeps8
+    instr32 = sum(p32.values()) + sweeps32
+    row("  uninstrumented driver glue",
+        max(0.0, t8["secs"] - instr8), max(0.0, t32["secs"] - instr32))
     row("TOTAL", t8["secs"], t32["secs"])
     lines += [
         "",

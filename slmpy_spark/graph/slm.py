@@ -81,6 +81,15 @@ def _dbg(msg: str) -> None:
         print(f"[slm {_time.strftime('%H:%M:%S')}] {msg}", file=_sys.stderr, flush=True)
 
 
+def _phase(level, name: str, t0: float) -> float:
+    """Emit a parseable non-sweep phase timing line (SLMPY_DEBUG) and
+    return a fresh t0 — BENCH/decompose.py aggregates these to attribute
+    the non-sweep serial floor per phase instead of one opaque bucket."""
+    now = _time.time()
+    _dbg(f"phase level={level} name={name} secs={now - t0:.3f}")
+    return now
+
+
 # ------------------------------------------------------------- helpers
 
 
@@ -383,28 +392,31 @@ def _assign_quality(
     bcast: bool = False,
 ) -> float:
     """Exact Q of a (id, community, node_w) state — one edge-side agg
-    plus one vertex agg.  Used once per level at most (final-proposal
-    evaluation); sweeps get their Q from _state_stats for free."""
+    plus one vertex agg, cross-joined into ONE single-row action (both
+    inputs are one-row aggregates, so the cross join is trivial and the
+    two subtrees run inside the same Spark job instead of paying two
+    driver submission/planning floors).  Used once per level at most
+    (final-proposal evaluation); sweeps get their Q from observe-riding
+    stats for free."""
     hint = F.broadcast if bcast else _ident
     a_src = hint(state.select(F.col("id").alias("src"), F.col("community").alias("cs")))
     a_dst = hint(state.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
-    intra_row = (
+    intra_df = (
         sym.join(a_dst, "dst")
         .join(a_src, "src")
         .agg(
             F.sum(F.when(F.col("cs") == F.col("cd"), F.col("weight")).otherwise(0.0))
             .alias("intra")
         )
-        .first()
     )
-    intra = float(intra_row["intra"] or 0.0)
-    v = (
+    s2_df = (
         state.groupBy("community")
         .agg(F.sum("node_w").alias("sigma"))
         .agg(F.sum(F.col("sigma") * F.col("sigma")).alias("s2"))
-        .first()
     )
-    s2 = float(v["s2"] or 0.0)
+    row = intra_df.crossJoin(s2_df).first()
+    intra = float(row["intra"] or 0.0)
+    s2 = float(row["s2"] or 0.0)
     if two_m == 0:
         return 0.0
     if quality == "cpm":
@@ -465,6 +477,7 @@ def _distributed_local_moving(
     action inside `materialize`, see util.materialize) — no separate
     stats aggregation job.  Rejection wastes exactly one speculative
     decision job (same cost as the old retry)."""
+    tp = _time.time()
     if not bcast and not pre_partitioned:
         # huge-vertex-table path: pre-hash-partition the edge table by
         # dst ONCE and persist — every sweep's first join (dst →
@@ -485,6 +498,7 @@ def _distributed_local_moving(
         ).persist()
         sym.count()
         owned_sym = sym
+        tp = _phase(level, "lm_edge_cache", tp)
     else:
         owned_leaf = None
         owned_sym = None
@@ -496,6 +510,7 @@ def _distributed_local_moving(
             bcast,
         )
     )
+    tp = _phase(level, "lm_state_init", tp)
     best_state = state
     best_q = None
     move_frac = init_frac
@@ -586,6 +601,7 @@ def _distributed_local_moving(
         state = prop
         pending = True
 
+    tp = _time.time()
     if pending and q_guard:
         # last adopted proposal was never revealed by a later sweep —
         # evaluate it once; keep it only if it beats the best
@@ -593,12 +609,14 @@ def _distributed_local_moving(
         _dbg(f"level {level} final-eval q={q_final:.6f} (best {best_q:.6f})")
         if best_q is None or q_final > best_q + 1e-12:
             best_state = state
+        tp = _phase(level, "lm_final_eval", tp)
     elif pending:
         best_state = state
 
     assign_out = _canonical_labels(best_state.select("id", "community")).transform(
         materialize
     )
+    tp = _phase(level, "lm_canonical", tp)
     if state is not best_state:
         state.unpersist()
     best_state.unpersist()
@@ -667,6 +685,7 @@ def _split_communities(
     two_m: float = 0.0,
     max_sweeps: int = 8,
     giant_threshold: int = 1_000_000,
+    level: int = -1,
 ) -> DataFrame:
     """Re-cluster every community from singletons (may split it).
     New community labels = min member vertex id per subcommunity.
@@ -701,6 +720,7 @@ def _split_communities(
             F.col("node_w").alias("w_src"),
         )
     )
+    tp = _time.time()
     intra = (
         sym.join(a_dst, "dst")
         .join(src_side, "src")
@@ -716,6 +736,7 @@ def _split_communities(
     )
     top = int(top_row["m"] or 0)
     intra_count = int(top_row["tot"] or 0)
+    tp = _phase(level, "split_intra", tp)
 
     if top > giant_threshold:
         _dbg(f"split: giant community ({top} intra rows) → distributed split")
@@ -727,32 +748,56 @@ def _split_communities(
         )
         # labels are already canonical min-member ids; vertices with no
         # intra edges kept their singleton id — the kernel semantics
+        tp = _phase(level, "split_distributed", tp)
+        # parent map (subcommunity → step-a parent community) — the SLM
+        # §1.2(4c) warm start for the next level's initial clustering.
+        # Materialized HERE, before the caller unpersists `assign` (the
+        # LM output): materialize()'s unpersist frees real checkpoint
+        # blocks now, so lazily holding a reference to `assign` past its
+        # free would be a use-after-free.
+        parent_map = (
+            out.join(assign.select("id", F.col("community").alias("parent")), "id")
+            .select(F.col("community").alias("id"), F.col("parent").alias("community"))
+            .distinct()
+            .transform(materialize)
+        )
     else:
         # the kernel already emits globally-unique min-member-id labels
         # (members are disjoint across parent communities), so the only
         # remaining join fills in intra-edge-less vertices as singletons
-        # of their own id
+        # of their own id.  The step-a parent community rides along as a
+        # third column on the SAME materialized leaf (it is exactly the
+        # left side's `community`), so the warm-start parent map below
+        # is a distinct over checkpoint blocks — no second vertex-sized
+        # join per level (the r4 layout re-joined `out` against `assign`
+        # to recover the parent it had just projected away).
         sub = intra.groupBy("community").applyInPandas(
             _split_kernel_factory(resolution2, seed), "id long, sub long"
         )
-        out = (
+        out_full = (
             assign.alias("o")
             .join(sub.alias("r"), "id", "left")
-            .select("id", F.coalesce(F.col("r.sub"), F.col("id")).alias("community"))
+            .select(
+                "id",
+                F.coalesce(F.col("r.sub"), F.col("id")).alias("community"),
+                F.col("o.community").alias("parent"),
+            )
             .transform(materialize)
         )
-    # parent map (subcommunity → step-a parent community) — the SLM
-    # §1.2(4c) warm start for the next level's initial clustering.
-    # Materialized HERE, before the caller unpersists `assign` (the LM
-    # output): materialize()'s unpersist frees real checkpoint blocks
-    # now, so lazily holding a reference to `assign` past its free
-    # would be a use-after-free.
-    parent_map = (
-        out.join(assign.select("id", F.col("community").alias("parent")), "id")
-        .select(F.col("community").alias("id"), F.col("parent").alias("community"))
-        .distinct()
-        .transform(materialize)
-    )
+        out = out_full.select("id", "community")
+        # out is a projection view over out_full's checkpoint leaf; the
+        # caller's unpersist must free the leaf's blocks (same
+        # monkey-patch convention as util.materialize)
+        out.unpersist = out_full.unpersist  # type: ignore[method-assign]
+        tp = _phase(level, "split_kernel", tp)
+        parent_map = (
+            out_full.select(
+                F.col("community").alias("id"), F.col("parent").alias("community")
+            )
+            .distinct()
+            .transform(materialize)
+        )
+    tp = _phase(level, "split_parent_map", tp)
     intra.unpersist()
     return out, parent_map
 
@@ -819,15 +864,32 @@ def slm_scale(
     # 1.06s → 0.085s with a leaf).  A leaf costs one checkpoint job up
     # front (same price as persist+count) and collapses every
     # downstream cache's embedded plan to scan-over-LogicalRDD.
-    sym0 = materialize(symmetrize(edges))
-    two_m = total_weight(sym0)
+    # The edge-entry count and 2m ride the checkpoint action as observe
+    # metrics (weights are integral on web link graphs, so the sum is
+    # exact regardless of accumulation order) — no separate count /
+    # total_weight jobs.
+    tp = _time.time()
+    obs0 = Observation()
+    sym0 = materialize(
+        symmetrize(edges).observe(
+            obs0,
+            F.count(F.lit(1)).alias("m"),
+            F.sum("weight").alias("tw"),
+        )
+    )
+    v0 = obs0.get
+    m0 = int(v0["m"] or 0)
+    two_m = float(v0["tw"] or 0.0)
+    obs_n = Observation()
     if quality == "cpm":
         resolution2 = gamma
         nw0 = vertices(edges).select("id", F.lit(1.0).alias("node_w"))
     else:
         resolution2 = gamma / two_m if two_m else 0.0
         nw0 = degrees(sym0).select("id", F.col("w_deg").alias("node_w"))
-    nw0 = nw0.transform(materialize)
+    nw0 = materialize(nw0.observe(obs_n, F.count(F.lit(1)).alias("n")))
+    nv0 = int(obs_n.get["n"] or 0)
+    tp = _phase(-1, "setup", tp)
 
     best_q = None
     best_flat = None
@@ -847,6 +909,7 @@ def slm_scale(
                 init_flat=prev,
                 resume=(resume and it == 0 and start == 0),
                 broadcast_threshold=broadcast_threshold,
+                m0=m0, nv0=nv0,
             )
             if variant == "louvain_refine":
                 # multilevel refinement (§1.2(3)): one more LM pass on
@@ -871,7 +934,9 @@ def slm_scale(
                     and pre_refine is not flat
                 ):
                     pre_refine.unpersist()
-            q = modularity(sym0, flat, gamma=gamma, quality=quality)
+            tq = _time.time()
+            q = modularity(sym0, flat, gamma=gamma, quality=quality, two_m=two_m)
+            tq = _phase(-1, "pass_q", tq)
             _dbg(f"start {start} pass {it}: q={q:.6f} (best {best_q})")
             old_best = best_flat
             if best_q is None or q > best_q + 1e-9:
@@ -902,11 +967,22 @@ def _scale_pass(
     max_sweeps, exact_threshold, q_guard, variant,
     checkpointer, step_offset, init_flat, resume,
     broadcast_threshold=250_000,
+    m0: int | None = None, nv0: int | None = None,
 ):
     """One full SLM/Louvain hierarchy pass (level loop). Returns the
-    flat original-vertex → community assignment."""
+    flat original-vertex → community assignment.
+
+    `m0`/`nv0`: the level-0 edge-entry and vertex counts when the caller
+    already knows them (observe-ridden on sym0/nw0's checkpoint jobs);
+    levels > 0 carry both counts forward from the aggregation step's own
+    observe metrics, so the steady-state level loop runs ZERO standalone
+    count jobs."""
     sym_l = sym0
     node_w_l = nw0
+    # carried sizes: edge entries of sym_l / rows of node_w_l (None →
+    # unknown, fall back to a count job — the resume path)
+    m_known = m0
+    nv_known = nv0
     # level-0 initial clustering: previous pass's result, or singletons
     assign_l = (
         init_flat
@@ -929,16 +1005,21 @@ def _scale_pass(
                 if warm is not None
                 else node_w_l.select("id", F.col("id").alias("community"))
             )
+            m_known = None
+            nv_known = None
 
     for level in range(level_start, max_levels):
-        m_l = sym_l.count()
+        tl = _time.time()
+        m_l = m_known if m_known is not None else sym_l.count()
         _dbg(f"level {level}: m={m_l}")
         if m_l <= exact_threshold:
             _dbg(f"level {level}: exact finish (m={m_l})")
             warm = assign_l
             assign_l = _exact_finish(
-                sym_l, node_w_l, assign_l, resolution2, seed + level, variant
+                sym_l, node_w_l, assign_l, resolution2, seed + level, variant,
+                level=level,
             )
+            tl = _phase(level, "exact_finish", tl)
             # _exact_finish returns its INPUT unchanged when the level's
             # supergraph is empty (every community absorbed all its
             # edges → aggregate dropped them as self-loops): freeing
@@ -955,7 +1036,7 @@ def _scale_pass(
                 prev_flat.unpersist()
             break
 
-        nv = node_w_l.count()
+        nv = nv_known if nv_known is not None else node_w_l.count()
         bcast = nv <= broadcast_threshold
         LAST_RUN_STATS["levels"] += 1
         if not bcast:
@@ -965,6 +1046,7 @@ def _scale_pass(
             # into this layout exactly once
             sym_j = sym_l.repartition("dst").persist()
             sym_j.count()
+            tl = _phase(level, "edge_cache", tl)
         else:
             sym_j = sym_l
         warm = assign_l
@@ -989,12 +1071,13 @@ def _scale_pass(
                 sym_j, op="slm_lm_input", level=level, step=step_offset + level
             )
         parent_map = None
+        tl = _time.time()
         if variant == "slm":
             lm_out = assign_l
             assign_l, parent_map = _split_communities(
                 sym_j, node_w_l, assign_l, resolution2, seed + level,
                 bcast=bcast, gamma=gamma, quality=quality, two_m=two_m,
-                max_sweeps=max_sweeps,
+                max_sweeps=max_sweeps, level=level,
             )
             lm_out.unpersist()  # split output (materialized) supersedes it
 
@@ -1002,20 +1085,24 @@ def _scale_pass(
         flat = assign_l if flat is None else _merge_down(flat, assign_l)
         if prev_flat is not None and prev_flat is not flat:
             prev_flat.unpersist()
+        tl = _phase(level, "merge_down", tl)
 
         _dbg(f"level {level}: split done, aggregating")
         # next level's node weights double as the convergence check:
         # its row count IS the community count (saves the separate
-        # count-distinct job per level; nv is this level's node_w count,
-        # already known)
-        node_w_next = (
+        # count-distinct job per level) and rides the materialize action
+        # as an observe metric — no standalone count job; it also
+        # becomes the carried vertex count of the next level
+        obs_nw = Observation()
+        node_w_next = materialize(
             node_w_l.join(assign_l, "id")
             .groupBy("community")
             .agg(F.sum("node_w").alias("node_w"))
             .select(F.col("community").alias("id"), "node_w")
-            .transform(materialize)
+            .observe(obs_nw, F.count(F.lit(1)).alias("n"))
         )
-        n_vertices, n_comms = nv, node_w_next.count()
+        n_vertices, n_comms = nv, int(obs_nw.get["n"] or 0)
+        tl = _phase(level, "node_w_next", tl)
         if n_comms >= n_vertices:
             node_w_next.unpersist()
             if parent_map is not None:
@@ -1026,7 +1113,16 @@ def _scale_pass(
 
         super_edges, _sw = aggregate_graph(sym_j, assign_l)
         old_sym, old_sym_j = sym_l, sym_j
-        sym_l = super_edges.transform(materialize)
+        # next level's edge-entry count rides the aggregation's own
+        # checkpoint action (steady-state: zero standalone count jobs
+        # per level)
+        obs_m = Observation()
+        sym_l = materialize(
+            super_edges.observe(obs_m, F.count(F.lit(1)).alias("m"))
+        )
+        m_known = int(obs_m.get["m"] or 0)
+        nv_known = n_comms
+        tl = _phase(level, "aggregate", tl)
         if old_sym_j is not old_sym:
             old_sym_j.unpersist()
         if old_sym is not sym0:
@@ -1071,13 +1167,15 @@ def _merge_down(flat: DataFrame, level_assign: DataFrame) -> DataFrame:
     return out.transform(materialize)
 
 
-def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant):
+def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant, level=-1):
     """Collect the (now small) super-graph and run the sequential kernel
     to convergence, starting from the current assignment."""
+    tp = _time.time()
     pdf = sym_l.toPandas()
     nw = node_w_l.toPandas()
     a = assign_l.toPandas()
     spark = sym_l.sparkSession
+    tp = _phase(level, "exact_collect", tp)
     if pdf.empty:
         return assign_l
 
@@ -1115,11 +1213,14 @@ def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant):
     for _ in range(32):
         if not step(indptr, nbr, wgt, node_w, cluster, resolution2, rng):
             break
+    tp = _phase(level, "exact_kernel", tp)
     out = pd.DataFrame({"id": ids, "community": cluster})
     # canonical min-member-id labels to stay in the global convention
     rep = out.groupby("community")["id"].transform("min")
     out["community"] = rep
-    return spark.createDataFrame(out[["id", "community"]], ASSIGN_SCHEMA)
+    res = spark.createDataFrame(out[["id", "community"]], ASSIGN_SCHEMA)
+    tp = _phase(level, "exact_emit", tp)
+    return res
 
 
 # -------------------------------------------------------------- facade
