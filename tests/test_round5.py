@@ -148,3 +148,98 @@ def test_scaling_cache_sidecar_guard(tmp_path):
     )
     assert proc.returncode != 0
     assert "mismatch" in (proc.stderr + proc.stdout)
+
+
+# ---- r5 second half: non-sweep job cuts (observe-ridden counts, fused
+# final eval, join-free parent map, split-output unpersist) ----
+
+
+def test_modularity_two_m_passthrough(spark):
+    """modularity(two_m=...) must skip the edge rescan without changing
+    the value (slm_scale's per-pass Q passes its known 2m)."""
+    from slmpy_spark.graph.edges import symmetrize, total_weight
+    from slmpy_spark.graph.modularity import modularity
+
+    edges = edges_df(spark, _triangle(0) + _triangle(10) + [(2, 10, 1.0)])
+    sym = symmetrize(edges)
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (12, 10)],
+        "id long, community long",
+    )
+    q_default = modularity(sym, assign)
+    q_passed = modularity(sym, assign, two_m=total_weight(sym))
+    assert q_passed == q_default
+
+
+def test_split_parent_map_matches_join(spark):
+    """The kernel split path now derives the warm-start parent map from
+    the parent column riding the split output's own materialize — it
+    must equal the r4 join-based derivation (sub → its step-a parent)."""
+    from slmpy_spark.graph.edges import degrees, symmetrize
+    from slmpy_spark.graph.slm import _split_communities
+
+    # two parent communities, each of which the splitter will cut in two
+    # (two sub-cliques bridged by one weak edge inside each parent)
+    def clique(ids):
+        return [(a, b, 1.0) for i, a in enumerate(ids) for b in ids[i + 1:]]
+
+    edges = edges_df(
+        spark,
+        clique([0, 1, 2]) + clique([3, 4, 5]) + [(2, 3, 0.01)]
+        + clique([10, 11, 12]) + clique([13, 14, 15]) + [(12, 13, 0.01)],
+    )
+    sym = symmetrize(edges).persist()
+    node_w = degrees(sym).select("id", F.col("w_deg").alias("node_w"))
+    assign = sym.sparkSession.createDataFrame(
+        [(i, 0) for i in range(6)] + [(i, 10) for i in range(10, 16)],
+        "id long, community long",
+    )
+    two_m = float(sym.agg(F.sum("weight")).first()[0])
+    out, parent_map = _split_communities(
+        sym, node_w, assign, resolution2=1.0 / two_m, seed=3, two_m=two_m
+    )
+    got = {(r.id, r.community) for r in parent_map.collect()}
+    expect = {
+        (r.community, r.parent)
+        for r in out.join(
+            assign.select("id", F.col("community").alias("parent")), "id"
+        )
+        .select("community", "parent")
+        .distinct()
+        .collect()
+    }
+    assert got == expect
+    # the split actually split: more subcommunities than parents
+    assert len({c for c, _ in got}) > 2
+    out.unpersist()
+    parent_map.unpersist()
+    sym.unpersist()
+
+
+def test_scale_shuffle_path_no_cache_leak(spark):
+    """broadcast_threshold=1 forces the shuffle-level machinery (carried
+    counts, lazy sigma, per-level split output).  After the run, the only
+    surviving cached/checkpointed RDD is the returned assignment's leaf —
+    the r4 layout leaked one community-sized checkpoint set per level ≥ 1
+    (the consumed split output was never unpersisted)."""
+    edges = edges_df(
+        spark,
+        _triangle(0) + _triangle(10) + _triangle(20) + _triangle(30)
+        + [(2, 10, 0.01), (12, 20, 0.01), (22, 30, 0.01)],
+    )
+    before = _persistent_rdd_ids(spark)
+    assign, q = slm(
+        edges, mode="scale", exact_threshold=0, seed=7, broadcast_threshold=1
+    )
+    assert assign.count() == 12
+    extra = _persistent_rdd_ids(spark) - before
+    assert len(extra) <= 1, f"leaked {len(extra)} RDD block sets"
+
+
+def test_scale_empty_edges(spark):
+    """Fully empty input through the observe-ridden setup (counts and 2m
+    must come back 0, not None-crash)."""
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assign, q = slm(empty, mode="scale", exact_threshold=0, seed=1)
+    assert assign.count() == 0
+    assert q == 0.0
