@@ -1123,6 +1123,13 @@ def _scale_pass(
         m_known = int(obs_m.get["m"] or 0)
         nv_known = n_comms
         tl = _phase(level, "aggregate", tl)
+        # the level's (materialized) assignment is now fully consumed —
+        # merge-down, node_w_next, and the aggregation above are all
+        # materialized over their own blocks — so its checkpoint blocks
+        # are dead weight.  At level 0 it IS `flat` (merge-down returns
+        # the first level unchanged): freeing it would free the result.
+        if assign_l is not flat and assign_l is not init_flat:
+            assign_l.unpersist()
         if old_sym_j is not old_sym:
             old_sym_j.unpersist()
         if old_sym is not sym0:
@@ -1155,6 +1162,15 @@ def _scale_pass(
 
     if sym_l is not sym0:
         sym_l.unpersist()
+    # every loop exit (exact-finish break, converged break, max_levels
+    # exhaustion) lands here still holding the last level's node-weight
+    # leaf and possibly a dangling assignment (the converged break's
+    # split output, or an exhaustion pass's never-consumed warm-start
+    # parent map) — free both; `flat` and the caller's init_flat stay
+    if node_w_l is not nw0:
+        node_w_l.unpersist()
+    if assign_l is not flat and assign_l is not init_flat:
+        assign_l.unpersist()
     return flat
 
 
