@@ -7,10 +7,15 @@ queries()/oracle_sql(): one entry per operator (SURVEY.md §3); the
 edge table is derived from the driver's `documents` table with a
 deterministic arithmetic token rule computed identically by Spark and
 DuckDB (slmpy_spark.sources.docs — no cross-engine hash reconciliation
-needed).  Iterative operators (pagerank/cc-by-iteration/slm/louvain/
-lpa-to-convergence) are not ANSI-SQL-expressible except where noted
-(cc via recursive CTE, lpa single round) and get rows-only checks;
-their numeric parity is covered by pytest oracles in tests/.
+needed).  Fixed-iteration operators get FULL value oracles via
+generated unrolled-CTE SQL (pagerank 10 iterations, LPA 5 rounds —
+every per-step CTE is MATERIALIZED: DuckDB otherwise inlines each of
+the ~3 references per step and the chain expands 3^n times, observed
+as file-handle exhaustion against parquet-backed views); cc gets a
+recursive CTE; ann_topk/media_features are integer-deterministic and
+fully oracled.  Only data-dependent fixpoints (slm/louvain, tol-driven
+convergence) and engine-specific 64-bit hashes (minhash/simhash) stay
+rows-only, with pytest numeric oracles covering their values.
 """
 
 from __future__ import annotations
@@ -119,14 +124,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": lambda spark, sf: engine.connected_components(
             _edges(spark, sf)
         ),
-        # iterative ops — rows-only checks (pytest oracles cover values)
+        # P1: fixed 10 power iterations (tol=0 → no data-dependent early
+        # exit, so the unrolled DuckDB twin computes the same fixpoint
+        # prefix; entry() exercises the tol-driven convergence mode and
+        # tests/ pin its numeric parity).  Both sides round to 6dp —
+        # the driver hashes values, and grouped double sums are
+        # order-sensitive at the last few ulps.
         "pagerank": lambda spark, sf: engine.pagerank(
-            _edges(spark, sf), tol=1e-8, max_iter=40
-        ),
+            _edges(spark, sf), tol=0.0, max_iter=10
+        ).select("id", F.round("rank", 6).alias("rank")),
+        # rows-only: data-dependent fixpoints (pytest oracles cover values)
         "slm": lambda spark, sf: engine.slm(_edges(spark, sf), seed=42, mode="exact")[0],
         "louvain": lambda spark, sf: engine.louvain(
             _edges(spark, sf), seed=42, mode="exact"
         )[0],
+        # P3 multi-round: 5 synchronous rounds, unrolled in the oracle.
+        # The engine early-exits on a no-change round; a converged
+        # labeling is a fixed point of the round function, so the
+        # oracle's remaining unrolled rounds reproduce it unchanged.
         "label_propagation": lambda spark, sf: engine.label_propagation(
             _edges(spark, sf), max_iter=5
         ),
@@ -178,16 +193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": lambda spark, sf: dedup.simhash_candidates(
             _docs(spark, sf), max_hamming=3
         ),
+        # feat projected to 16 rounded double columns (not a CSV string:
+        # the driver hashes cell values, and double→string formatting is
+        # the one step the two engines render differently; float32 →
+        # double widening + HALF_UP 6dp rounding are bit-identical)
         "media_features": lambda spark, sf: multimodal.media_features(
             multimodal.docs_to_media(_docs(spark, sf))
         ).select(
             "media_id",
             "kind",
             "n_bytes",
-            F.concat_ws(
-                ",",
-                F.transform("feat", lambda x: F.round(x.cast("double"), 6).cast("string")),
-            ).alias("feat_csv"),
+            *[
+                F.round(F.element_at("feat", i + 1).cast("double"), 6).alias(f"f{i:02d}")
+                for i in range(multimodal.FEAT_DIM)
+            ],
         ),
         # banded multi-table ANN bucketing — integer-deterministic, so
         # it gets a full DuckDB value oracle (covers the ANN path's
@@ -246,6 +265,133 @@ def _lsh_tables_sql(n_tables: int, n_planes: int) -> str:
             f"CAST({' + '.join(cases)} AS BIGINT) AS bucket FROM embeddings"
         )
     return " UNION ALL ".join(parts)
+
+
+def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Unrolled power-iteration twin of engine.pagerank(tol=0,
+    max_iter=n_iter): r_{t+1}(v) = (1-d)/n + d·dmass_t/n + d·Σ_{u→v}
+    r_t(u)/out_deg(u), dmass_t = Σ rank over no-out-edge vertices.
+    Every per-step CTE is MATERIALIZED — each is referenced up to 3
+    times, and DuckDB's default inlining would expand the chain 3^n
+    times (observed: parquet file-handle exhaustion at n=10)."""
+    parts = [
+        """
+        , outd AS MATERIALIZED (
+            SELECT src AS id, CAST(count(*) AS DOUBLE) AS od
+            FROM edges GROUP BY 1)
+        , nv AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
+        , r0 AS MATERIALIZED (
+            SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""
+    ]
+    for t in range(n_iter):
+        parts.append(f"""
+        , dm{t} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), 0.0) AS dm
+          FROM r{t} r LEFT JOIN outd o ON o.id = r.id WHERE o.id IS NULL)
+        , c{t + 1} AS MATERIALIZED (
+          SELECT e.dst AS id, sum(r.rank / o.od) AS c
+          FROM edges e JOIN r{t} r ON r.id = e.src
+                       JOIN outd o ON o.id = e.src
+          GROUP BY 1)
+        , r{t + 1} AS MATERIALIZED (
+          SELECT v.id,
+                 (1.0 - {d}) / (SELECT n FROM nv)
+                 + {d} * (SELECT dm FROM dm{t}) / (SELECT n FROM nv)
+                 + {d} * coalesce(c.c, 0.0) AS rank
+          FROM verts v LEFT JOIN c{t + 1} c ON c.id = v.id)""")
+    parts.append(f"\n        SELECT id, round(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int = 5) -> str:
+    """Unrolled synchronous-LPA twin of engine.label_propagation: each
+    round every vertex adopts the max-total-weight neighbor label, ties
+    → min label, isolated vertices keep theirs.  sym weights are sums
+    of integral token counts, so the w comparisons are exact in both
+    engines.  MATERIALIZED for the same 2^n-inlining reason as
+    _pagerank_sql."""
+    parts = ["\n        , l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        , n{t} AS MATERIALIZED (
+          SELECT s.src AS id, l.label, sum(s.weight) AS w
+          FROM sym s JOIN l{t - 1} l ON l.id = s.dst GROUP BY 1, 2)
+        , b{t} AS MATERIALIZED (
+          SELECT id, label AS nl FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY w DESC, label ASC) AS rn
+            FROM n{t}) WHERE rn = 1)
+        , l{t} AS MATERIALIZED (
+          SELECT l.id, coalesce(b.nl, l.label) AS label
+          FROM l{t - 1} l LEFT JOIN b{t} b ON b.id = l.id)""")
+    parts.append(f"\n        SELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def _ann_topk_sql(
+    k: int = 10, n_planes: int = 8, n_queries: int = 5, n_tables: int = 8
+) -> str:
+    """Twin of similarity.ann_topk: candidates share ANY (table,
+    bucket) of the deterministic integer-plane tables, exact rounded
+    cosine ranks them."""
+    return f"""
+    WITH bt AS MATERIALIZED ({_lsh_tables_sql(n_tables, n_planes)}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM bt q JOIN bt c ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(
+               list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ce.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(qe.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]),
+                                          CAST(ce.embedding AS DOUBLE[])))),
+               6) AS cos
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+             AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {k}"""
+
+
+def _media_sql(feat_dim: int) -> str:
+    """Twin of multimodal.docs_to_media → media_features with the fake
+    decode: feat[i] = |{{bytes b : b % dim = i}}| / n_bytes as float32.
+    The documents text is ASCII (asserted by the byte-length check
+    below failing the join otherwise), so byte values are ascii() code
+    points; CAST(.. AS REAL) replicates the kernel's float32
+    quantization before the shared double 6dp rounding."""
+    fcols = ", ".join(
+        f"round(CAST(CAST(coalesce(h.c{i}, 0) / CAST(b.n AS DOUBLE) AS REAL)"
+        f" AS DOUBLE), 6) AS f{i:02d}"
+        for i in range(feat_dim)
+    )
+    hcols = ", ".join(
+        f"sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(feat_dim)
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             text, octet_length(encode(text)) AS n_bytes,
+             length(text) AS n
+      FROM documents),
+    ch AS (
+      SELECT media_id,
+             ascii(substr(text, CAST(i AS INT) + 1, 1)) % {feat_dim} AS bucket
+      FROM b, unnest(range(0, n)) AS t(i)),
+    h AS (SELECT media_id, {hcols} FROM ch GROUP BY 1)
+    SELECT b.media_id, b.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes, {fcols}
+    FROM b LEFT JOIN h ON h.media_id = b.media_id"""
 
 
 def _lpa_one_round(spark: SparkSession, sf: str) -> DataFrame:
@@ -463,13 +609,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST({_lsh_weights_sql(8)} AS BIGINT) AS bucket
         FROM embeddings""",
         "ann_bucket_tables": _lsh_tables_sql(4, 6),
-        # pagerank / slm / slm_scale / louvain / label_propagation /
-        # minhash_signatures / minhash_lsh_candidates /
-        # simhash_signatures / simhash_candidates / ann_topk /
-        # media_features: no portable ANSI-SQL equivalent (iterative
-        # fixpoints, engine-specific 64-bit hashes, or Arrow decode
-        # kernels) → rows-only driver check; value parity is enforced
-        # by pytest oracles in tests/.
+        # fixed-iteration graph ops: generated unrolled-CTE twins
+        "pagerank": p + _pagerank_sql(n_iter=10, d=0.85),
+        "label_propagation": p + _lpa_sql(rounds=5),
+        # banded-LSH ANN + the fake-decode multimodal kernel: integer-
+        # deterministic end-to-end, fully oracled
+        "ann_topk": _ann_topk_sql(k=10, n_planes=8, n_queries=5, n_tables=8),
+        "media_features": _media_sql(multimodal.FEAT_DIM),
+        # slm / slm_scale / louvain (data-dependent fixpoints, seeded
+        # tie-breaking) and minhash_signatures / minhash_lsh_candidates
+        # / dedup_verified / simhash_signatures / simhash_candidates
+        # (engine-specific 64-bit hashes by design): no portable
+        # ANSI-SQL equivalent → rows-only driver check; value parity is
+        # enforced by pytest oracles in tests/.
     }
 
 
