@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
-from slmpy_spark.util import materialize
+from slmpy_spark.util import explain_to, materialize
 
 
 def connected_components(
@@ -93,6 +93,8 @@ def connected_components(
             )
             .observe(obs, F.sum("changed").alias("ch"))
         )
+        if it == 0:
+            explain_to(new_labels, "cc_round")
         new_labels = new_labels.transform(materialize)
 
         changed = int(obs.get["ch"] or 0)

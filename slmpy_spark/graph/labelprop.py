@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from slmpy_spark.graph.edges import symmetrize, vertices
-from slmpy_spark.util import materialize
+from slmpy_spark.util import explain_to, materialize
 
 
 def label_propagation(
@@ -54,6 +54,8 @@ def label_propagation(
         new_labels = lpa_round(sym, labels, None, with_changed=True).observe(
             obs, F.sum("changed").alias("ch")
         )
+        if it == 0:
+            explain_to(new_labels, "lpa_round")
         new_labels = new_labels.transform(materialize)
         changed = int(obs.get["ch"] or 0)
         labels.unpersist()

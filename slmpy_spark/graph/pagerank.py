@@ -19,25 +19,39 @@ Scale notes (100 TB / 1000 executors):
 - **the iterated state holds only vertices with ≥1 in-edge.**  A vertex
   with no in-edges receives nothing, so its rank is the closed-form
   `base_t` every iteration; its *outgoing* contributions are a static
-  per-dst table (Σ 1/outdeg over its no-in in-neighbors) scaled by the
-  scalar `base_{t-1}` and unioned into the aggregation.  This removes
-  the per-iteration `vertices ⋈ contribs` left join entirely — one
-  fewer stage wave per iteration, and the shuffled state shrinks to
-  the has-in subset (on web graphs a large cut: link farms / leaf
-  pages have no in-links).
+  per-dst `unit` (Σ frac over its no-in in-neighbors) scaled by the
+  scalar `base_{t-1}`.  r6: `unit` RIDES THE RANK STATE as a column
+  (attached once at init), so the flat-source contribution needs no
+  per-iteration union branch or separate cached table — the iteration
+  computes rank = base + d·(c + r_flat·unit) from the aggregation
+  output directly.
 - lineage is truncated every iteration via localCheckpoint (or a
   Checkpointer) — without it Catalyst replans a k-join-deep tree at
   iteration k and driver planning time explodes.
 - **ONE Spark job, ONE post-scan shuffle per iteration**: the old rank
   state is unioned into the contribution aggregation as
-  zero-contribution rows (old_rank/dang non-null exactly once per id),
-  so there is no post-aggregation vertex join stage; the convergence
-  delta (max |r'−r|) and the NEXT iteration's dynamic dangling mass
-  (Σ r' over `dang` vertices) are `DataFrame.observe` metrics
-  delivered by the materialize action itself — no separate
-  dangling-sum or delta jobs (they used to make it 3 jobs/iteration,
-  and per-iteration job-submission latency is exactly the serial floor
-  the N→4N scaling efficiency divides by).
+  zero-contribution rows (old_rank/dang/unit non-null exactly once per
+  id), so there is no post-aggregation vertex join stage; the
+  convergence delta (max |r'−r|) and the NEXT iteration's dynamic
+  dangling mass (Σ r' over `dang` vertices) are `DataFrame.observe`
+  metrics delivered by the materialize action itself — no separate
+  dangling-sum or delta jobs.
+- r6 setup fusion: ONE vertex-stats aggregation (union of src/dst
+  projections → groupBy(id)) carries out_deg/out_w/has_in per vertex
+  and every setup scalar (n, n_dyn, n_out, dynamic dangling count)
+  rides its materialize action as observe metrics — the r5 layout ran
+  four separate jobs (verts.count, has_in.count, has_out.count, the
+  observed ranks init) to learn the same numbers.
+- `broadcast_threshold` (same knob and default as slm_scale) gates
+  broadcast hints on the ONE-TIME setup joins (edges ⋈ src_info, the
+  flat-unit attach) so small inputs skip those shuffle waves.  The
+  per-iteration join deliberately does NOT broadcast the rank state:
+  measured at sf0.1, an explicit per-iteration broadcast of the
+  vertex-sized ranks was 2-4× slower and erratic (9-22s vs a stable
+  4.3-4.7s for the cached-layout join, 4 reps each) — the persisted
+  contribution cache's known statistics already let Catalyst broadcast
+  the small side when the input is small, and at scale the
+  pre-partitioned cache is the right layout anyway.
 """
 
 from __future__ import annotations
@@ -45,8 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from slmpy_spark.graph.edges import out_degrees, vertices
-from slmpy_spark.util import materialize
+from slmpy_spark.util import explain_to, materialize
 
 
 def pagerank(
@@ -58,6 +71,7 @@ def pagerank(
     checkpointer=None,
     weighted: bool = False,
     leaf_cache: bool = True,
+    broadcast_threshold: int = 250_000,
 ) -> DataFrame:
     """Return ranks(id long, rank double), Σ rank = 1.
 
@@ -75,116 +89,118 @@ def pagerank(
     CacheManager-canonicalization fix, a measured win at ≥10M edges).
     False skips the leaf's fixed checkpoint job — the A/B toggle for
     small inputs (BENCH/ab_leaf_small.py).
+
+    `broadcast_threshold`: when the vertex count fits under it, the
+    one-time setup joins take broadcast hints (see module docstring —
+    per-iteration joins are NOT affected).
     """
     spark = edges.sparkSession
 
-    verts = vertices(edges).persist()
-    n = verts.count()
-    if n == 0:
-        return spark.createDataFrame([], "id long, rank double")
-
-    # out-edge contribution fraction, fixed across iterations.
-    # Persisted PRE-HASH-PARTITIONED on the join key: the cached
-    # relation's outputPartitioning satisfies the per-iteration join's
-    # requirement, so the 2m-row edge side is shuffled ONCE for the
-    # whole run and only the (vertex-sized) ranks side moves per
-    # iteration — the big-win layout for iterative joins (bucketing
-    # achieves the same across jobs at real scale).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    # vertices with no IN-edges: their rank is the scalar `r_flat`
-    # every iteration (they receive nothing), so they are dropped from
-    # the iterated state; their outgoing mass enters the aggregation as
-    # the static `flat_contrib` table scaled by r_flat.  The dyn flag
-    # is attached to the VERTEX-sized out-degree table — the edge table
-    # is scanned/joined once, split by a cached filter, never
-    # semi-joined.
-    has_in = edges.select(F.col("dst").alias("id")).distinct().persist()
-    n_dyn = has_in.count()
-    n_flat = n - n_dyn
-
-    src_info = out_degrees(edges).join(
-        has_in.select("id", F.lit(True).alias("dyn")), "id", "left"
-    ).select(
-        F.col("id").alias("src"),
-        F.col("out_deg"),
-        F.col("out_w"),
-        F.coalesce(F.col("dyn"), F.lit(False)).alias("dyn"),
+    # ONE vertex-stats aggregation replaces the r5 verts/has_in/has_out
+    # distinct+count jobs: per id — directed out-degree (count, weight)
+    # and the has-in flag; every setup scalar rides the materialize
+    # action as an observe metric.  Weights are integral on web link
+    # graphs, so the +0.0 rows from the dst projection leave out_w
+    # bit-exact.
+    obs0 = Observation()
+    vstats = materialize(
+        edges.select(
+            F.col("src").alias("id"), F.lit(1).alias("o"), F.col("weight").alias("w"),
+            F.lit(0).alias("i"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(0.0).alias("w"),
+                F.lit(1).alias("i"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("o").alias("out_deg"),
+            F.sum("w").alias("out_w"),
+            F.max("i").alias("has_in"),
+        )
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("has_in").alias("n_dyn"),
+            F.sum((F.col("out_deg") > 0).cast("int")).alias("n_out"),
+            F.sum(
+                ((F.col("has_in") == 1) & (F.col("out_deg") == 0)).cast("int")
+            ).alias("n_dang_dyn"),
+        )
     )
-    # contribution fraction: per-edge weight share (weighted) or the
-    # uniform 1/out_deg split — both fixed across iterations
+    v0 = obs0.get
+    n = int(v0["n"] or 0)
+    if n == 0:
+        vstats.unpersist()
+        return spark.createDataFrame([], "id long, rank double")
+    n_dyn = int(v0["n_dyn"] or 0)
+    n_out = int(v0["n_out"] or 0)
+    n_dangling_dyn = int(v0["n_dang_dyn"] or 0)
+    n_flat = n - n_dyn
+    n_dangling_flat = (n - n_out) - n_dangling_dyn
+    hint = F.broadcast if n <= broadcast_threshold else (lambda f: f)
+
+    # out-edge contribution fraction, fixed across iterations: per-edge
+    # weight share (weighted) or the uniform 1/out_deg split.  The base
+    # is a checkpoint LEAF (constant-time per-iteration planning — the
+    # leaf collapses every downstream reference to scan-over-LogicalRDD;
+    # see r4/r5 notes).  The dyn flag marks edges whose SOURCE is in the
+    # iterated state.
     frac_expr = (
         (F.col("weight") / F.col("out_w")) if weighted
         else (F.lit(1.0) / F.col("out_deg"))
     ).alias("frac")
-    # The contribution base is a checkpoint LEAF, not a persist: the
-    # per-iteration CacheManager lookup and AQE replanning canonicalize
-    # contrib_edges' embedded plan every iteration, and with the raw
-    # edge lineage embedded (edges appears three times via src_info)
-    # that is ~1s/iteration of driver-side planning at any data size
-    # (measured for the SLM sweep, BENCH/qe_stage_probe.py) — leafing
-    # the base collapses it to scan-over-LogicalRDD.  The leaf must
-    # outlive the cache built over it (evicted cache partitions
-    # recompute from it, and checkpoint blocks have no lineage), so it
-    # is freed at the end instead of right after cache population.
+    src_info = vstats.select(
+        F.col("id").alias("src"), "out_deg", "out_w",
+        (F.col("has_in") == 1).alias("dyn"),
+    )
     _leaf = materialize if leaf_cache else (lambda f: f)
-    if n_flat:
-        contrib_leaf = _leaf(
-            edges.join(src_info, "src").select("src", "dst", frac_expr, "dyn")
-        )
-        contrib_edges = (
-            contrib_leaf.where("dyn")
-            .select("src", "dst", "frac")
-            .repartition(n_parts, "src")
-            .persist()
-        )
-        contrib_edges.count()  # materialize
-        flat_contrib = (
-            contrib_leaf.where(~F.col("dyn"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("frac").alias("unit"))
-            .transform(materialize)
-        )
-    else:
-        # every vertex has in-edges → the aggregation output already
-        # covers them all; no static split, same job count as the
-        # plain formulation
-        contrib_leaf = _leaf(
-            edges.join(src_info, "src").select("src", "dst", frac_expr)
-        )
-        contrib_edges = contrib_leaf.repartition(n_parts, "src").persist()
-        contrib_edges.count()
-        flat_contrib = None
+    contrib_leaf = _leaf(
+        edges.join(hint(src_info), "src").select("src", "dst", frac_expr, "dyn")
+    )
+    # Persisted PRE-HASH-PARTITIONED on the join key: the cached
+    # relation's outputPartitioning satisfies the per-iteration join's
+    # requirement, so the edge-sized side is shuffled ONCE for the whole
+    # run and only the (vertex-sized) ranks side moves per iteration; at
+    # small inputs the cache's known statistics let Catalyst broadcast
+    # it instead — both without per-iteration replanning (the cache sits
+    # over the checkpoint leaf).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    contrib_edges = (
+        contrib_leaf.where("dyn")
+        .select("src", "dst", "frac")
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    contrib_edges.count()  # materialize the cached layout
 
-    # dangling (no OUT-edges) split into the dynamic part (has in-edges;
-    # per-iteration sum over the ranks frame) and the static count of
-    # isolated-ish vertices (no in, no out) whose rank is r_flat:
-    # n_dangling_flat = (n − |has_out|) − n_dangling_dyn, no extra scan.
-    has_out = edges.select(F.col("src").alias("id")).distinct().persist()
-    n_out = has_out.count()
-    dangling_dyn = has_in.join(has_out, "id", "left_anti")
     r_flat = 1.0 / n  # current rank of every no-in vertex
 
-    # rank state carries a `dang` flag (dynamic vertex with no
-    # out-edges) so each iteration's materialize job can OBSERVE the
-    # next iteration's dynamic dangling mass — no per-iteration
-    # dangling-sum job.  The initial dynamic dangling count rides the
-    # init materialize the same way (all ranks equal 1/n, so the mass
-    # is n_dangling_dyn / n).
-    obs0 = Observation()
-    ranks = (
-        has_in.join(dangling_dyn.select("id", F.lit(1).alias("dang")), "id", "left")
-        .select(
-            "id",
-            F.lit(1.0 / n).alias("rank"),
-            F.coalesce("dang", F.lit(0)).alias("dang"),
-        )
-        .observe(obs0, F.sum("dang").alias("nd"))
-        .transform(materialize)
+    # rank state: (id, rank, dang, unit) over has-in vertices only.
+    # `dang` (dynamic vertex with no out-edges) lets each iteration's
+    # materialize job OBSERVE the next iteration's dynamic dangling
+    # mass; `unit` is the static flat-source contribution Σ frac from
+    # no-in in-neighbors, attached ONCE here and carried through every
+    # iteration's aggregation (max(unit) — constant per id).
+    ranks0 = vstats.where(F.col("has_in") == 1).select(
+        "id",
+        F.lit(1.0 / n).alias("rank"),
+        ((F.col("out_deg") == 0).cast("int")).alias("dang"),
     )
-    n_dangling_dyn = int(obs0.get["nd"] or 0)
-    n_dangling_flat = (n - n_out) - n_dangling_dyn
-    has_out.unpersist()
+    if n_flat:
+        flat_unit = (
+            contrib_leaf.where(~F.col("dyn"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("frac").alias("u"))
+        )
+        ranks0 = ranks0.join(hint(flat_unit), "id", "left").select(
+            "id", "rank", "dang", F.coalesce(F.col("u"), F.lit(0.0)).alias("unit")
+        )
+    else:
+        ranks0 = ranks0.select("id", "rank", "dang", F.lit(0.0).alias("unit"))
+    ranks = materialize(ranks0)
     dmass_dyn = n_dangling_dyn / n
 
     n_iter = 0
@@ -201,53 +217,54 @@ def pagerank(
             (F.col("rank") * F.col("frac")).alias("c"),
             null_d.alias("old_rank"),
             null_i.alias("dang"),
+            null_d.alias("unit"),
         )
-        if n_flat:
-            contribs = contribs.unionByName(
-                flat_contrib.select(
-                    "id",
-                    (F.lit(r_flat) * F.col("unit")).alias("c"),
-                    null_d.alias("old_rank"),
-                    null_i.alias("dang"),
-                )
-            )
         # the old state rides INTO the aggregation as zero-contribution
-        # rows (old_rank/dang are each non-null exactly once per id), so
-        # the per-iteration plan is ONE edge-sized shuffle into the
-        # groupBy — no post-aggregation vertex join stage at all; every
-        # has-in vertex receives ≥1 contribution row by construction,
-        # so the aggregation output IS the new rank set.  The
-        # convergence delta and the next iteration's dynamic dangling
-        # mass ride the SAME job as observed metrics.
+        # rows (old_rank/dang/unit are each non-null exactly once per
+        # id), so the per-iteration plan is ONE shuffle into the groupBy
+        # — vertex-sized partial sums in broadcast mode, the edge-sized
+        # contribution rows otherwise — with no post-aggregation vertex
+        # join stage; every has-in vertex receives ≥1 row by
+        # construction, so the aggregation output IS the new rank set.
+        # The convergence delta and the next iteration's dynamic
+        # dangling mass ride the SAME job as observed metrics.
         with_old = contribs.unionByName(
             ranks.select(
                 "id",
                 F.lit(0.0).alias("c"),
                 F.col("rank").alias("old_rank"),
                 F.col("dang"),
+                F.col("unit"),
             )
         )
         agg = with_old.groupBy("id").agg(
             F.sum("c").alias("c"),
             F.max("old_rank").alias("old_rank"),
             F.max("dang").alias("dang"),
+            F.max("unit").alias("unit"),
         )
         obs = Observation()
+        new_state = agg.select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(d) * (F.col("c") + F.lit(r_flat) * F.col("unit"))
+            ).alias("rank"),
+            "dang",
+            "unit",
+            "old_rank",
+        )
+        if it == 0:
+            explain_to(new_state, "pagerank_iter")
         new_ranks = (
-            agg.select(
-                "id",
-                (F.lit(base) + F.lit(d) * F.col("c")).alias("rank"),
-                "dang",
-                "old_rank",
-            )
-            .observe(
+            new_state.observe(
                 obs,
                 F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
                 F.sum(
                     F.when(F.col("dang") == 1, F.col("rank")).otherwise(F.lit(0.0))
                 ).alias("dmass"),
             )
-            .select("id", "rank", "dang")
+            .select("id", "rank", "dang", "unit")
             .transform(materialize)
         )
         vals = obs.get
@@ -268,16 +285,25 @@ def pagerank(
         checkpointer.log_metric(op="pagerank", iters=n_iter, n=n)
     out = ranks.select("id", "rank")
     if n_flat:
+        # flat vertices re-derive LAZILY from the caller's edge table
+        # (distinct src ∪ dst minus distinct dst) — pure lineage, no
+        # pinned blocks, exactly the r5 consumption shape: the caller's
+        # terminal action recomputes this tiny branch once.  Building it
+        # from the vstats leaf instead would require the leaf's blocks
+        # to outlive the returned frame (a per-call leak).
+        all_ids = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        has_in_ids = edges.select(F.col("dst").alias("id")).distinct()
         out = out.unionByName(
-            verts.join(has_in, "id", "left_anti").select(
+            all_ids.join(has_in_ids, "id", "left_anti").select(
                 "id", F.lit(r_flat).alias("rank")
             )
         )
     contrib_edges.unpersist()
-    if flat_contrib is not None:
-        flat_contrib.unpersist()
-    # after the cache built over it is gone; no-op when leaf_cache=False
+    # after every consumer of the leaf is done; no-op when leaf_cache=False
     contrib_leaf.unpersist()
-    has_in.unpersist()
-    verts.unpersist()
+    vstats.unpersist()
     return out

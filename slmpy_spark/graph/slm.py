@@ -61,7 +61,7 @@ from slmpy_spark.graph import kernels
 from slmpy_spark.graph.aggregate import aggregate_graph
 from slmpy_spark.graph.edges import degrees, symmetrize, total_weight, vertices
 from slmpy_spark.graph.modularity import modularity
-from slmpy_spark.util import is_plan_leaf, materialize
+from slmpy_spark.util import explain_to, is_plan_leaf, materialize
 
 ASSIGN_SCHEMA = "id long, community long"
 
@@ -530,6 +530,11 @@ def _distributed_local_moving(
     for sweep in range(max_sweeps):
         t0 = _time.time()
         obs = Observation()
+        if sweep == 0:
+            explain_to(
+                _propose_moves(sym, state, resolution2, seed, sweep, move_frac, bcast),
+                f"slm_sweep_{'bcast' if bcast else 'shuffle'}",
+            )
         prop = (
             _propose_moves(sym, state, resolution2, seed, sweep, move_frac, bcast)
             .observe(
@@ -1112,6 +1117,7 @@ def _scale_pass(
             break  # nothing merged at this level → converged
 
         super_edges, _sw = aggregate_graph(sym_j, assign_l)
+        explain_to(super_edges, "slm_aggregate")
         old_sym, old_sym_j = sym_l, sym_j
         # next level's edge-entry count rides the aggregation's own
         # checkpoint action (steady-state: zero standalone count jobs
