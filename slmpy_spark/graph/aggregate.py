@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def aggregate_graph(sym: DataFrame, assign: DataFrame):
+def aggregate_graph(sym: DataFrame, assign: DataFrame, bcast: bool = False):
     """Build the reduced network. Returns (super_edges, self_weights):
 
     super_edges : src, dst, weight   — inter-community, both directions
@@ -28,9 +28,19 @@ def aggregate_graph(sym: DataFrame, assign: DataFrame):
     self_weights: id, self_weight    — Σ intra-community weight per
                                        super-node (each undirected intra
                                        edge counted twice, CSR-style)
+
+    `bcast`: broadcast-hint the two vertex-sided assignment projections
+    (callers gate it on the level's vertex count — the SLM level loop's
+    broadcast_threshold); the big table then never exchanges before the
+    (cs, cd) aggregation.
     """
-    a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
-    a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    hint = F.broadcast if bcast else (lambda f: f)
+    a_src = hint(
+        assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    )
+    a_dst = hint(
+        assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    )
     # dst joined first: inside the SLM level loop `sym` arrives cached
     # in repartition("dst") layout, so the big side exchanges only once
     # (on src) instead of twice

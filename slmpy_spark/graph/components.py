@@ -39,7 +39,6 @@ def connected_components(
     `leaf_cache=False` skips the checkpoint leaf under the edge cache
     (saves its fixed block-write job on small inputs — the A/B toggle,
     BENCH/ab_leaf_small.py)."""
-    spark = edges.sparkSession
     # pre-hash-partitioned on the per-round join key (dst) and cached:
     # the edge table enters this layout once and never exchanges again —
     # only the vertex-sized label table shuffles per round (the same
@@ -50,37 +49,60 @@ def connected_components(
     # constant-time regardless of the caller's plan depth (measured for
     # the SLM sweep, BENCH/qe_stage_probe.py).  The leaf outlives the
     # cache (evicted cache partitions recompute from it).
-    verts = vertices(edges).persist()
-    if verts.count() == 0:
-        # before any leaf/cache is built — nothing to leak on this path
-        verts.unpersist()
-        return spark.createDataFrame([], "id long, component long")
     sym_base = symmetrize(edges).select("src", "dst")
     sym_leaf = materialize(sym_base) if leaf_cache else sym_base
     sym = sym_leaf.repartition("dst").persist()
 
-    labels = verts.select("id", F.col("id").alias("component"))
-    labels = labels.transform(materialize)
+    # init: singleton labels, with the vertex count riding the
+    # materialize action (r6 — replaces the separate persisted
+    # verts.count() job; an empty graph yields an empty labels frame,
+    # which is already the correct result)
+    obs0 = Observation()
+    labels = materialize(
+        vertices(edges)
+        .select("id", F.col("id").alias("component"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+    )
+    if int(obs0.get["n"] or 0) == 0:
+        sym.unpersist()
+        sym_leaf.unpersist()
+        labels.unpersist()  # the empty checkpoint leaf would otherwise leak
+        return edges.sparkSession.createDataFrame([], "id long, component long")
 
     for it in range(max_iter):
-        # gather: candidate = min(own label, min over neighbors' labels)
-        nbr_min = (
-            sym.join(labels.select("id", "component"), sym.dst == F.col("id"), "inner")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        cand = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.col("component").alias("old_c"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+        # gather fused INTO one aggregation (r6): the state rides into
+        # the neighbor-min groupBy as (id, own component, old=component)
+        # rows, so candidate = min(own, neighbors) falls out of ONE
+        # min-aggregation with no labels ⋈ nbr_min join — and the
+        # pointer-jump self-join below consumes two plain projections of
+        # the SAME aggregate, whose identical input exchanges stage-reuse
+        # at runtime (the r5 layout computed the whole edge-sized join
+        # subtree twice, once per jump side).
+        null_l = F.lit(None).cast("long")
+        cand = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), "component"), "dst"
+            )
+            .select(F.col("src").alias("id"), "component", null_l.alias("old"))
+            .unionByName(
+                labels.select("id", "component", F.col("component").alias("old"))
+            )
+            .groupBy("id")
+            .agg(F.min("component").alias("component"), F.max("old").alias("old_c"))
         )
         # path halving: component ← label of component (pointer jump);
         # the changed flag rides along and its sum is OBSERVED on the
         # materialize action itself — one Spark job per round, no
-        # separate convergence scan
-        jump = cand.select(F.col("id").alias("jid"), F.col("component").alias("jcomp"))
+        # separate convergence scan.  r6: the jump side reads the
+        # PREVIOUS round's labels (the materialized leaf — a cheap block
+        # re-scan) instead of self-joining `cand`, whose duplicated
+        # aggregate subtree re-ran the whole edge-sized join a second
+        # time per round.  prev_label[x] ≤ x by induction, so the jump
+        # still contracts label chains (one-round-stale pointer
+        # doubling), labels stay monotone non-increasing, and the
+        # fixpoint — every label the component's min id, changed == 0 —
+        # is unchanged; only the round count can differ by a hop.
+        jump = labels.select(F.col("id").alias("jid"), F.col("component").alias("jcomp"))
         obs = Observation()
         new_labels = (
             cand.join(jump, cand.component == jump.jid, "left")
@@ -110,5 +132,4 @@ def connected_components(
     sym.unpersist()
     # after the cache built over it is gone; no-op when leaf_cache=False
     sym_leaf.unpersist()
-    verts.unpersist()
     return labels.select("id", "component")

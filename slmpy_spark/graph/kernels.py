@@ -79,45 +79,69 @@ def local_moving(
     n = indptr.size - 1
     if n <= 1:
         return False
-    cluster_w = np.bincount(cluster, weights=node_w, minlength=n).astype(np.float64)
-    n_per = np.bincount(cluster, minlength=n)
-    unused = list(np.flatnonzero(n_per == 0))  # ascending; pop() = largest first
+    # r6: the visit loop runs on plain-Python lists/dicts.  The per-visit
+    # numpy path (fancy-index + unique + bincount + argmax on a ~degree-
+    # sized slice) costs ~1 ms/visit in array-op constant overhead — the
+    # measured 99%-serial straggler of the split stage.  Python scalar
+    # float arithmetic is the same IEEE double as numpy float64, the kic
+    # accumulation below adds weights in the identical (CSR-slice) order
+    # bincount does, candidates are scanned in the same ascending order
+    # np.unique yields, first-strict-max keeps the same lowest-id
+    # tie-break, and the RNG stream is untouched — so the labels are
+    # bit-identical to the r5 numpy loop at ~20× the visit rate
+    # (verified by the kernel/fixture parity tests).
+    cluster_w = np.bincount(cluster, weights=node_w, minlength=n).tolist()
+    n_per_np = np.bincount(cluster, minlength=n)
+    unused = np.flatnonzero(n_per_np == 0).tolist()  # ascending; pop() = largest
+    n_per = n_per_np.tolist()
+    indptr_l = indptr.tolist()
+    nbr_l = nbr.tolist()
+    wgt_l = wgt.tolist()
+    nw_l = [float(x) for x in node_w]
+    cl = cluster.tolist()
 
-    order = rng.permutation(n)
+    order = rng.permutation(n).tolist()
     n_stable = 0
     i = 0
     update = False
     while n_stable < n:
-        j = int(order[i])
-        lo, hi = int(indptr[j]), int(indptr[j + 1])
-        cj = int(cluster[j])
-        cluster_w[cj] -= node_w[j]
+        j = order[i]
+        lo, hi = indptr_l[j], indptr_l[j + 1]
+        cj = cl[j]
+        w_j = nw_l[j]
+        cluster_w[cj] -= w_j
         n_per[cj] -= 1
         if n_per[cj] == 0:
             unused.append(cj)
 
         best = -1
         if hi > lo:
-            ncl = cluster[nbr[lo:hi]]
-            uniq, inv = np.unique(ncl, return_inverse=True)
-            kic = np.bincount(inv, weights=wgt[lo:hi])
-            gain = kic - node_w[j] * cluster_w[uniq] * resolution2
-            bi = int(np.argmax(gain))  # first max = lowest cluster id on ties
-            if gain[bi] > 0.0:
-                best = int(uniq[bi])
+            acc: dict = {}
+            for t in range(lo, hi):
+                c = cl[nbr_l[t]]
+                acc[c] = acc.get(c, 0.0) + wgt_l[t]
+            best_gain = 0.0
+            for c in sorted(acc):
+                # same op order as the numpy expression:
+                # kic - (node_w[j] * cluster_w[c]) * resolution2
+                g = acc[c] - w_j * cluster_w[c] * resolution2
+                if g > best_gain:  # strict > keeps lowest id on ties
+                    best_gain = g
+                    best = c
         if best < 0:
             best = unused.pop()
 
-        cluster_w[best] += node_w[j]
+        cluster_w[best] += w_j
         n_per[best] += 1
         if best == cj:
             n_stable += 1
         else:
-            cluster[j] = best
+            cl[j] = best
             n_stable = 1
             update = True
         i = i + 1 if i < n - 1 else 0
 
+    cluster[:] = cl
     compactify(cluster)
     return update
 
@@ -175,11 +199,22 @@ def local_moving_chunked(
         row_order = np.argsort(row_chunk, kind="stable")
         counts = np.bincount(row_chunk, minlength=k_chunks)
         cstarts = np.concatenate([[0], np.cumsum(counts)])
+        # chunk membership by slicing the permutation (chunk_of[order[t]]
+        # = t*k/n is monotone in t), sorted ascending — the same array
+        # flatnonzero(chunk_of == k) yields, without the O(n·k_chunks)
+        # full rescans per round (r6; values bit-identical, and the
+        # ascending order keeps the sigma np.add.at accumulation order —
+        # and with it FP rounding — unchanged)
+        ncounts = np.bincount(
+            np.arange(n, dtype=np.int64) * k_chunks // n, minlength=k_chunks
+        )
+        nstarts = np.concatenate([[0], np.cumsum(ncounts)])
+        order_np = np.asarray(order)
 
         moved_round = 0
         for k in range(k_chunks):
             rows = row_order[cstarts[k] : cstarts[k + 1]]
-            nodes_k = np.flatnonzero(chunk_of == k)
+            nodes_k = np.sort(order_np[nstarts[k] : nstarts[k + 1]])
             if nodes_k.size == 0:
                 continue
             if rows.size:

@@ -38,10 +38,12 @@ def label_propagation(
     # cache — evicted cache partitions recompute from it).
     sym_leaf = materialize(symmetrize(edges))
     sym = sym_leaf.repartition("dst").persist()
-    verts = vertices(edges).persist()
 
-    labels = verts.select("id", F.col("id").alias("label"))
-    labels = labels.transform(materialize)
+    # init: singleton labels with the (unused beyond emptiness) vertex
+    # set folded in — no separate persisted verts frame (r6)
+    labels = materialize(
+        vertices(edges).select("id", F.col("id").alias("label"))
+    )
 
     for it in range(max_iter):
         # the changed flag rides on the frame and its sum is OBSERVED
@@ -49,7 +51,12 @@ def label_propagation(
         # iterated path passes verts=None: `labels` is verts-complete
         # by construction (the coalesce keeps every id), so the public
         # signature's verts re-join would only add a vertex-sized hash
-        # join per round.
+        # join per round.  (r6 negative result, reverted: folding the
+        # old label into the weight aggregation as a sentinel row to
+        # drop this join-back measured ~1.5s SLOWER over 5 rounds at
+        # sf0.1 under a quiet interleaved A/B — the join-back is a
+        # cheap runtime-broadcast join, the sentinel branch widened the
+        # big per-(id,label) exchange instead.)
         obs = Observation()
         new_labels = lpa_round(sym, labels, None, with_changed=True).observe(
             obs, F.sum("changed").alias("ch")
@@ -69,7 +76,6 @@ def label_propagation(
 
     sym.unpersist()
     sym_leaf.unpersist()  # after the cache built over it is gone
-    verts.unpersist()
     return labels.select("id", "label")
 
 

@@ -105,10 +105,12 @@ def _dense_run(pdf: pd.DataFrame, fn, **kw):
     return ids, fn(len(ids), lsrc, ldst, w, **kw)
 
 
-def _canonical_labels(assign: DataFrame) -> DataFrame:
+def _canonical_labels(assign: DataFrame, bcast: bool = False) -> DataFrame:
     """community → min member vertex id (stable, collision-free labels
-    across sweeps; also the scale-mode community id convention)."""
+    across sweeps; also the scale-mode community id convention).
+    `bcast`: broadcast-hint the (community-count-sized) mapping side."""
     m = assign.groupBy("community").agg(F.min("id").alias("rep"))
+    m = F.broadcast(m) if bcast else m
     return assign.join(m, "community").select("id", F.col("rep").alias("community"))
 
 
@@ -160,12 +162,17 @@ def slm_exact(
 
 
 def _attach_sigma(state: DataFrame, bcast: bool) -> DataFrame:
-    """Sigma (community Σtot) carriage strategy per mode (r4).
+    """Sigma (community Σtot) carriage strategy per mode (r4; re-measured
+    and KEPT in r6).
 
     - **bcast levels** (vertex count under ``broadcast_threshold``):
       sigma rides ON the state as a column, maintained by an unordered
       window sum — one exchange, and at this size even a community
-      holding every vertex fits one task comfortably.
+      holding every vertex fits one task comfortably.  (r6 negative
+      result, reverted: deriving sigma lazily with a per-sweep
+      aggregate + broadcast join instead made sweeps 0.2-1s SLOWER each
+      at sf0.1 — the extra broadcast builds cost more than the window's
+      in-job exchange+sort at this size.)
 
     - **shuffle levels**: identity — sigma does NOT ride the state.
       ``Window.partitionBy("community")`` buffers an ENTIRE community's
@@ -185,7 +192,7 @@ def _attach_sigma(state: DataFrame, bcast: bool) -> DataFrame:
     return state
 
 
-def _lazy_sigma_state(state: DataFrame) -> DataFrame:
+def _lazy_sigma_state(state: DataFrame, bcast: bool = False) -> DataFrame:
     """(id, community, sigma) view of a *materialized* shuffle-level
     state, deriving sigma on the fly: a partial-combining
     groupBy(community).sum (map-side combine → a hub community's rows
@@ -194,6 +201,8 @@ def _lazy_sigma_state(state: DataFrame) -> DataFrame:
     one-row-per-community side and STREAM the probe partition — a
     sort-merge join would sort the giant community's partition, and a
     window would buffer it, both single-task stragglers at scale.
+    (`bcast=True` broadcast-joins the tiny side instead — used only by
+    tests/probes; the sweep's bcast levels carry sigma on the state.)
 
     The sweep references this frame exactly twice (the dst-side
     candidate projection and the zero-weight self rows), both pruned to
@@ -203,7 +212,8 @@ def _lazy_sigma_state(state: DataFrame) -> DataFrame:
     leaf: re-scanning it is reading checkpoint blocks, not recomputing
     a plan."""
     sig = state.groupBy("community").agg(F.sum("node_w").alias("sigma"))
-    return state.select("id", "community").join(sig.hint("shuffle_hash"), "community")
+    sig = F.broadcast(sig) if bcast else sig.hint("shuffle_hash")
+    return state.select("id", "community").join(sig, "community")
 
 
 def _propose_moves(
@@ -217,12 +227,11 @@ def _propose_moves(
 ) -> DataFrame:
     """One synchronous local-moving sweep, entirely JVM-side.
 
-    `state`: (id, community, node_w[, sigma]) — the current assignment
-    with node weights; at bcast levels the community Σtot rides along
-    as a window-maintained `sigma` column, at shuffle levels sigma is
-    derived lazily from the materialized state leaf per sweep
-    (_lazy_sigma_state — cheap block re-scan, skew-safe partial-combine
-    aggregation, no giant-community window).
+    `state`: (id, community, node_w) — the current assignment with node
+    weights; the community Σtot is derived lazily from the materialized
+    state leaf per sweep in both modes (_lazy_sigma_state — cheap block
+    re-scan, skew-safe partial-combine aggregation, no giant-community
+    window; broadcast-joined back at bcast levels).
 
     Semantics (mirrors kernels.local_moving against a snapshot):
     for every eligible vertex i with candidates C = {communities of
@@ -502,14 +511,24 @@ def _distributed_local_moving(
     else:
         owned_leaf = None
         owned_sym = None
-    state = materialize(
-        _attach_sigma(
+    # state init — when the caller starts from singletons (assign=None)
+    # the frame is a plain projection of the node-weight leaf: no
+    # vertex join at all (r6), and sigma == node_w exactly (every
+    # community is its one member), skipping the init window too.
+    if assign is None:
+        state0 = node_w.select(
+            "id", F.col("id").alias("community"), "node_w"
+        )
+        if bcast:
+            state0 = state0.withColumn("sigma", F.col("node_w"))
+    else:
+        state0 = _attach_sigma(
             assign.select("id", "community")
             .join(node_w, "id")
             .select("id", "community", "node_w"),
             bcast,
         )
-    )
+    state = materialize(state0)
     tp = _phase(level, "lm_state_init", tp)
     best_state = state
     best_q = None
@@ -618,9 +637,9 @@ def _distributed_local_moving(
     elif pending:
         best_state = state
 
-    assign_out = _canonical_labels(best_state.select("id", "community")).transform(
-        materialize
-    )
+    assign_out = _canonical_labels(
+        best_state.select("id", "community"), bcast=bcast
+    ).transform(materialize)
     tp = _phase(level, "lm_canonical", tp)
     if state is not best_state:
         state.unpersist()
@@ -745,9 +764,8 @@ def _split_communities(
 
     if top > giant_threshold:
         _dbg(f"split: giant community ({top} intra rows) → distributed split")
-        singles = assign.select("id", F.col("id").alias("community"))
         out = _distributed_local_moving(
-            intra.select("src", "dst", "weight"), node_w, singles,
+            intra.select("src", "dst", "weight"), node_w, None,
             resolution2, seed ^ 0x5BD1E995, max_sweeps, gamma, quality,
             True, two_m, bcast=bcast, m_l=intra_count,
         )
@@ -826,6 +844,7 @@ def slm_scale(
     n_iterations: int = 1,
     n_random_starts: int = 1,
     broadcast_threshold: int = 250_000,
+    giant_threshold: int = 1_000_000,
 ):
     """Distributed SLM (variant="slm") / Louvain (variant="louvain").
     Returns (assign, q) — q computed on the original graph.
@@ -914,6 +933,7 @@ def slm_scale(
                 init_flat=prev,
                 resume=(resume and it == 0 and start == 0),
                 broadcast_threshold=broadcast_threshold,
+                giant_threshold=giant_threshold,
                 m0=m0, nv0=nv0,
             )
             if variant == "louvain_refine":
@@ -972,6 +992,7 @@ def _scale_pass(
     max_sweeps, exact_threshold, q_guard, variant,
     checkpointer, step_offset, init_flat, resume,
     broadcast_threshold=250_000,
+    giant_threshold: int = 1_000_000,
     m0: int | None = None, nv0: int | None = None,
 ):
     """One full SLM/Louvain hierarchy pass (level loop). Returns the
@@ -989,11 +1010,9 @@ def _scale_pass(
     m_known = m0
     nv_known = nv0
     # level-0 initial clustering: previous pass's result, or singletons
-    assign_l = (
-        init_flat
-        if init_flat is not None
-        else node_w_l.select("id", F.col("id").alias("community"))
-    )
+    # (assign_l=None means singletons throughout this loop — the LM
+    # state init then skips the vertex join entirely, r6)
+    assign_l = init_flat
     flat = None  # original-vertex → current-level community
     level_start = 0
 
@@ -1004,12 +1023,7 @@ def _scale_pass(
             sym_l = checkpointer.load_state("slm_supergraph", k).persist()
             node_w_l = checkpointer.load_state("slm_node_w", k)
             flat = checkpointer.load_state("slm_assign", k)
-            warm = checkpointer.load_state("slm_next_assign", k)
-            assign_l = (
-                warm
-                if warm is not None
-                else node_w_l.select("id", F.col("id").alias("community"))
-            )
+            assign_l = checkpointer.load_state("slm_next_assign", k)
             m_known = None
             nv_known = None
 
@@ -1021,7 +1035,14 @@ def _scale_pass(
             _dbg(f"level {level}: exact finish (m={m_l})")
             warm = assign_l
             assign_l = _exact_finish(
-                sym_l, node_w_l, assign_l, resolution2, seed + level, variant,
+                sym_l,
+                node_w_l,
+                assign_l
+                if assign_l is not None
+                else node_w_l.select("id", F.col("id").alias("community")),
+                resolution2,
+                seed + level,
+                variant,
                 level=level,
             )
             tl = _phase(level, "exact_finish", tl)
@@ -1032,11 +1053,19 @@ def _scale_pass(
             # unpersist frees real checkpoint blocks with no lineage to
             # recompute from, so the merge-down below would abort with
             # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-            if warm is not init_flat and warm is not assign_l:
+            if warm is not None and warm is not init_flat and warm is not assign_l:
                 warm.unpersist()
             _dbg(f"level {level}: exact finish done")
             prev_flat = flat
-            flat = assign_l if flat is None else _merge_down(flat, assign_l)
+            flat = (
+                assign_l
+                if flat is None
+                else _merge_down(
+                    flat,
+                    assign_l,
+                    bcast=(nv_known is not None and nv_known <= broadcast_threshold),
+                )
+            )
             if prev_flat is not None and prev_flat is not flat:
                 prev_flat.unpersist()
             break
@@ -1061,11 +1090,10 @@ def _scale_pass(
             checkpointer=checkpointer, level=level, bcast=bcast, m_l=m_l,
             pre_partitioned=True,
         )
-        if warm is not init_flat:
+        if warm is not None and warm is not init_flat:
             # previous level's (materialized) warm-start map is consumed
-            # (LM materialized its own state) — free its blocks; no-op
-            # for the lazy singleton frame, never touches the caller's
-            # init_flat
+            # (LM materialized its own state) — free its blocks; never
+            # touches the caller's init_flat
             warm.unpersist()
         _dbg(f"level {level}: LM done (bcast={bcast}), splitting")
         if checkpointer is not None:
@@ -1082,12 +1110,13 @@ def _scale_pass(
             assign_l, parent_map = _split_communities(
                 sym_j, node_w_l, assign_l, resolution2, seed + level,
                 bcast=bcast, gamma=gamma, quality=quality, two_m=two_m,
-                max_sweeps=max_sweeps, level=level,
+                max_sweeps=max_sweeps, giant_threshold=giant_threshold,
+                level=level,
             )
             lm_out.unpersist()  # split output (materialized) supersedes it
 
         prev_flat = flat
-        flat = assign_l if flat is None else _merge_down(flat, assign_l)
+        flat = assign_l if flat is None else _merge_down(flat, assign_l, bcast=bcast)
         if prev_flat is not None and prev_flat is not flat:
             prev_flat.unpersist()
         tl = _phase(level, "merge_down", tl)
@@ -1100,7 +1129,9 @@ def _scale_pass(
         # becomes the carried vertex count of the next level
         obs_nw = Observation()
         node_w_next = materialize(
-            node_w_l.join(assign_l, "id")
+            node_w_l.join(
+                F.broadcast(assign_l) if bcast else assign_l, "id"
+            )
             .groupBy("community")
             .agg(F.sum("node_w").alias("node_w"))
             .select(F.col("community").alias("id"), "node_w")
@@ -1116,7 +1147,7 @@ def _scale_pass(
                 sym_j.unpersist()
             break  # nothing merged at this level → converged
 
-        super_edges, _sw = aggregate_graph(sym_j, assign_l)
+        super_edges, _sw = aggregate_graph(sym_j, assign_l, bcast=bcast)
         explain_to(super_edges, "slm_aggregate")
         old_sym, old_sym_j = sym_l, sym_j
         # next level's edge-entry count rides the aggregation's own
@@ -1143,14 +1174,11 @@ def _scale_pass(
         if node_w_l is not nw0:
             node_w_l.unpersist()
         node_w_l = node_w_next
-        # next level's initial clustering: SLM groups subcommunities by
-        # their step-a parent (§1.2(4c) warm start); Louvain starts
-        # from singleton super-nodes
         _dbg(f"level {level}: aggregated, nv/nc={n_vertices}/{n_comms}")
-        if parent_map is not None:
-            assign_l = parent_map  # already materialized by the split
-        else:
-            assign_l = node_w_l.select("id", F.col("id").alias("community"))
+        # next level's initial clustering: SLM groups subcommunities by
+        # their step-a parent (§1.2(4c) warm start, already materialized
+        # by the split); Louvain starts from singletons (None)
+        assign_l = parent_map
         if checkpointer is not None:
             # complete level snapshot: (flat labels, supergraph, node
             # weights, next level's warm-start clustering) — everything
@@ -1161,7 +1189,8 @@ def _scale_pass(
             old_flat.unpersist()
             checkpointer.save_state("slm_node_w", step, node_w_l)
             checkpointer.save_state("slm_supergraph", step, sym_l)
-            checkpointer.save_state("slm_next_assign", step, assign_l)
+            if assign_l is not None:  # None = singletons (louvain)
+                checkpointer.save_state("slm_next_assign", step, assign_l)
             checkpointer.log_metric(
                 op="slm", level=level, step=step, edges=m_l, communities=n_comms
             )
@@ -1175,16 +1204,22 @@ def _scale_pass(
     # parent map) — free both; `flat` and the caller's init_flat stay
     if node_w_l is not nw0:
         node_w_l.unpersist()
-    if assign_l is not flat and assign_l is not init_flat:
+    if assign_l is not None and assign_l is not flat and assign_l is not init_flat:
         assign_l.unpersist()
     return flat
 
 
-def _merge_down(flat: DataFrame, level_assign: DataFrame) -> DataFrame:
-    """flat: orig_id → comm_k;  level_assign: comm_k → comm_{k+1}."""
+def _merge_down(
+    flat: DataFrame, level_assign: DataFrame, bcast: bool = False
+) -> DataFrame:
+    """flat: orig_id → comm_k;  level_assign: comm_k → comm_{k+1}.
+    `bcast`: broadcast-hint the (level-vertex-sized) mapping so the
+    original-vertex-sized `flat` never exchanges — gated on the level's
+    carried vertex count by the caller."""
     r = level_assign.select(
         F.col("id").alias("community"), F.col("community").alias("new_c")
     )
+    r = F.broadcast(r) if bcast else r
     out = flat.join(r, "community").select("id", F.col("new_c").alias("community"))
     return out.transform(materialize)
 
@@ -1193,9 +1228,33 @@ def _exact_finish(sym_l, node_w_l, assign_l, resolution2, seed, variant, level=-
     """Collect the (now small) super-graph and run the sequential kernel
     to convergence, starting from the current assignment."""
     tp = _time.time()
-    pdf = sym_l.toPandas()
-    nw = node_w_l.toPandas()
-    a = assign_l.toPandas()
+    # ONE tagged-union collect instead of three separate toPandas
+    # actions (r6) — the exact finish runs once per pass and each
+    # driver action costs a full job submission
+    unioned = (
+        sym_l.select(
+            F.lit(0).alias("t"), F.col("src").alias("a"),
+            F.col("dst").alias("b"), F.col("weight").alias("w"),
+        )
+        .unionByName(
+            node_w_l.select(
+                F.lit(1).alias("t"), F.col("id").alias("a"),
+                F.lit(0).cast("long").alias("b"), F.col("node_w").alias("w"),
+            )
+        )
+        .unionByName(
+            assign_l.select(
+                F.lit(2).alias("t"), F.col("id").alias("a"),
+                F.col("community").alias("b"), F.lit(0.0).alias("w"),
+            )
+        )
+    )
+    all_pdf = unioned.toPandas()
+    pdf = all_pdf[all_pdf["t"] == 0].rename(
+        columns={"a": "src", "b": "dst", "w": "weight"}
+    )
+    nw = all_pdf[all_pdf["t"] == 1].rename(columns={"a": "id", "w": "node_w"})
+    a = all_pdf[all_pdf["t"] == 2].rename(columns={"a": "id", "b": "community"})
     spark = sym_l.sparkSession
     tp = _phase(level, "exact_collect", tp)
     if pdf.empty:

@@ -181,22 +181,48 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle Jaccard similarity pairs (a, b, jaccard ≥
     threshold, a<b).  With `candidates` (e.g. from lsh_candidates) the
-    intersection join is restricted to those pairs — the verify stage;
+    intersection is DRIVEN FROM the candidate pairs — the verify stage;
     without, it's the exact small-scale oracle (all co-shingled pairs).
     `shingles` shares a precomputed shingle frame (see verified_pairs).
+
+    Verify-mode join order (r6): the r5 layout ran the full shingle
+    self-join first and only then semi-joined the aggregated pairs down
+    to the candidates — Spark pushes the semi-join below the aggregate
+    but NOT below the self-join, so one shingle shared by B documents
+    still emitted O(B²) intermediate rows (the exact quadratic blowup
+    lsh_candidates' max_bucket cap exists to prevent; a boilerplate
+    trigram at 10^12 docs kills the stage).  Now the join chain is
+    candidates ⋈ shingles(a) ⋈ shingles(b, shingle) — every
+    intermediate is bounded by |candidates| × shingles-per-doc, no
+    matter how hot any single shingle is.  Per-pair intersection counts
+    (and hence jaccard) are identical: shingles are distinct per doc,
+    so each (a, b, shingle) row left-semi-matches the b side at most
+    once.
     """
     sh = shingles if shingles is not None else _shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    l = sh.select(F.col("doc_id").alias("a"), "shingle")
-    r = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        l.join(r, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.select("a", "b")
+            .where(F.col("a") < F.col("b"))
+            .join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+            .join(
+                sh.select(F.col("doc_id").alias("b"), "shingle"),
+                ["b", "shingle"],
+                "left_semi",
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        l = sh.select(F.col("doc_id").alias("a"), "shingle")
+        r = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (
+            l.join(r, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     return (

@@ -66,7 +66,9 @@ def test_pagerank_oracle_matches_numpy_power_iteration(duck, edges):
     assert set(got) == {int(v) for v in verts}
     assert abs(sum(got.values()) - 1.0) < 1e-4  # ranks sum to 1
     for v in verts:
-        assert abs(got[int(v)] - round(r[idx[int(v)]], 6)) < 1e-12, int(v)
+        # _r6 (HALF_UP), not Python round() (banker's): the two disagree
+        # on exact .xxxxxx5 halves and DuckDB rounds HALF_UP (ADVICE r5)
+        assert abs(got[int(v)] - _r6(r[idx[int(v)]])) < 1e-12, int(v)
 
 
 def test_lpa_oracle_matches_numpy_rounds(duck, edges):

@@ -124,6 +124,9 @@ def test_lazy_sigma_state_values(spark):
     }
     got = {r["id"]: r["sigma"] for r in _lazy_sigma_state(state).collect()}
     assert got == pytest.approx(exp)
+    # broadcast-joined lazy variant agrees (r6 test/probe helper)
+    bc = {r["id"]: r["sigma"] for r in _lazy_sigma_state(state, bcast=True).collect()}
+    assert bc == pytest.approx(exp)
     # bcast window path agrees
     win = {r["id"]: r["sigma"] for r in _attach_sigma(state, True).collect()}
     assert win == pytest.approx(exp)
