@@ -764,6 +764,9 @@ def _split_communities(
 
     if top > giant_threshold:
         _dbg(f"split: giant community ({top} intra rows) → distributed split")
+    else:
+        _dbg(f"split: top community {top} intra rows (≤ {giant_threshold}) → kernel split")
+    if top > giant_threshold:
         out = _distributed_local_moving(
             intra.select("src", "dst", "weight"), node_w, None,
             resolution2, seed ^ 0x5BD1E995, max_sweeps, gamma, quality,
