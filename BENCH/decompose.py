@@ -24,6 +24,7 @@ import os
 import re
 import subprocess
 import sys
+import time
 from collections import defaultdict
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -34,6 +35,7 @@ import json, os, sys, time
 sys.path.insert(0, os.environ["SLMPY_REPO"])
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); n_nodes = int(sys.argv[2]); m_target = int(sys.argv[3])
+cache = sys.argv[4] if len(sys.argv) > 4 else ""
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
     .config("spark.sql.adaptive.enabled", "true")
@@ -46,9 +48,12 @@ import pandas as pd
 from tests.genfixtures import g_powerlaw_arrays
 from slmpy_spark import engine
 from slmpy_spark.graph.slm import LAST_RUN_STATS
-s, d, w = g_powerlaw_arrays(n=n_nodes, m_target=m_target, seed=42)
-edges = (spark.createDataFrame(pd.DataFrame({"src": s, "dst": d, "weight": w}))
-         .repartition(max(cpus, 8)).persist())
+if cache:
+    edges = spark.read.parquet(cache).repartition(max(cpus, 8)).persist()
+else:
+    s, d, w = g_powerlaw_arrays(n=n_nodes, m_target=m_target, seed=42)
+    edges = (spark.createDataFrame(pd.DataFrame({"src": s, "dst": d, "weight": w}))
+             .repartition(max(cpus, 8)).persist())
 edges.count()
 engine.degrees(engine.symmetrize(edges)).count()  # warm-up
 t0 = time.time()
@@ -67,11 +72,31 @@ SWEEP_RE = re.compile(
 PHASE_RE = re.compile(r"phase level=(-?\d+) name=(\S+) secs=([\d.]+)")
 
 
-def run(cpus: int, nodes: int, edges: int):
+def _wait_for_quiet(threshold: float = 4.0, max_wait: float = 600.0,
+                    poll: float = 15.0) -> float:
+    """Same refuse-to-measure-under-load guard as run_scaling.py (r6):
+    the two-point model's serial estimate s = (4*t32 - t8)/3 amplifies
+    any contamination of the 32c leg by 4/3, so both legs must start
+    quiet."""
+    t0 = time.time()
+    with open("/proc/loadavg") as f:
+        load = float(f.read().split()[0])
+    while load > threshold and time.time() - t0 < max_wait:
+        time.sleep(poll)
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+    return load
+
+
+def run(cpus: int, nodes: int, edges: int, cache: str = ""):
     env = dict(os.environ, SLMPY_REPO=REPO, SLMPY_DEBUG="1")
+    load0 = _wait_for_quiet()
+    argv = [sys.executable, "-c", WORKER, str(cpus), str(nodes), str(edges)]
+    if cache:
+        argv.append(cache)
     proc = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(nodes), str(edges)],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        argv,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=7200,
     )
     total = None
     for line in proc.stdout.splitlines():
@@ -95,10 +120,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=2_000_000)
     ap.add_argument("--edges", type=int, default=10_000_000)
+    ap.add_argument("--graph-cache", default="",
+                    help="pre-generated parquet graph (see run_scaling.py)")
     args = ap.parse_args()
 
-    t8, s8, n8, p8 = run(8, args.nodes, args.edges)
-    t32, s32, n32, p32 = run(32, args.nodes, args.edges)
+    t8, s8, n8, p8 = run(8, args.nodes, args.edges, args.graph_cache)
+    t32, s32, n32, p32 = run(32, args.nodes, args.edges, args.graph_cache)
 
     lines = [
         "",
